@@ -1,0 +1,339 @@
+"""Batched prime-field arithmetic for TPU: 16x16-bit limbs in uint32.
+
+Design (TPU-first, not a port):
+  * A field element is a uint32 array of shape ``(16, *batch)`` holding
+    16-bit little-endian limbs ("limb-major" layout): the trailing batch
+    dimension maps onto TPU vector lanes, the 16-limb axis onto sublanes,
+    so a (16, 128) slab is exactly one native u32 VREG tile pair.
+  * The batch dimension is the SIMD axis. Limb-level algorithms are plain
+    sequential vector code: every "instruction" below operates on a whole
+    batch vector, so there is no data-dependent control flow anywhere and
+    the entire field stack is jit/vmap/shard_map-compatible by construction.
+  * Products of 16-bit limbs fit exactly in uint32; column accumulators
+    carry at most ~2^23 before a carry pass, so all arithmetic is exact.
+  * Multiplication is Montgomery (R = 2^256): schoolbook product columns
+    followed by 16 word-level Montgomery reduction steps.
+
+This subsumes the reference's L1 (ff_ce `Fr`, Montgomery form; see
+/root/reference/src/lib.rs:4-7) and L2 (BigInt helpers,
+/root/reference/src/utils.rs:7-223), generalized over the modulus so the
+same kernels serve Q (coordinates), SUBORDER and ORDER (scalar fields).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import hostmath
+
+LIMB_BITS = 16
+NLIMB = 16
+MASK = (1 << LIMB_BITS) - 1
+NBITS = LIMB_BITS * NLIMB  # 256
+
+_u32 = jnp.uint32
+_i32 = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# Host-side limb codecs
+# ---------------------------------------------------------------------------
+
+def int_to_limbs(x: int) -> np.ndarray:
+    """Python int (< 2^256) -> (16,) uint32 of 16-bit LE limbs."""
+    assert 0 <= x < (1 << NBITS)
+    return np.array([(x >> (LIMB_BITS * k)) & MASK for k in range(NLIMB)],
+                    dtype=np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    limbs = np.asarray(limbs, dtype=np.uint64)
+    return sum(int(limbs[k]) << (LIMB_BITS * k) for k in range(NLIMB))
+
+
+def ints_to_array(xs, batch_shape=None) -> np.ndarray:
+    """List of python ints -> (16, N) uint32 limb array."""
+    out = np.stack([int_to_limbs(x) for x in xs], axis=-1)
+    if batch_shape is not None:
+        out = out.reshape((NLIMB,) + tuple(batch_shape))
+    return out
+
+
+def array_to_ints(arr) -> list:
+    arr = np.asarray(arr).reshape(NLIMB, -1)
+    return [limbs_to_int(arr[:, i]) for i in range(arr.shape[1])]
+
+
+# ---------------------------------------------------------------------------
+# FieldSpec: host-side constants for one modulus
+# ---------------------------------------------------------------------------
+
+class FieldSpec:
+    """Precomputed Montgomery constants for a modulus p < 2^255."""
+
+    def __init__(self, p: int, name: str):
+        assert 2 * p < (1 << NBITS), "need 2p < R for single conditional subtract"
+        self.p = p
+        self.name = name
+        self.R = 1 << NBITS
+        self.p_limbs = int_to_limbs(p)
+        self.half_p = int_to_limbs(p >> 1)          # for sign convention x > p>>1
+        if p % 2 == 1:
+            self.r_mod_p = self.R % p
+            self.r2 = (self.R * self.R) % p
+            # ninv = -p^{-1} mod 2^16 (word-level Montgomery constant)
+            self.ninv = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+            self.r2_limbs = int_to_limbs(self.r2)
+            self.one_mont = int_to_limbs(self.r_mod_p)  # to_mont(1)
+        else:
+            # Even modulus (e.g. the full group ORDER = 8*l): Montgomery is
+            # unavailable; only the additive ring ops (add/sub/double) are
+            # supported, which is all the protocol needs mod ORDER.
+            self.r_mod_p = self.r2 = self.ninv = None
+            self.r2_limbs = self.one_mont = None
+
+    # host codecs -----------------------------------------------------------
+    def to_mont_int(self, x: int) -> int:
+        return (x * self.R) % self.p
+
+    def from_mont_int(self, x: int) -> int:
+        return (x * pow(self.R, -1, self.p)) % self.p
+
+
+FQ_SPEC = FieldSpec(hostmath.Q, "fq")             # coordinate field
+FL_SPEC = FieldSpec(hostmath.SUBORDER, "fl")      # prime subgroup scalar field
+FO_SPEC = FieldSpec(hostmath.ORDER, "fo")         # full group order (8*l)
+
+
+# ---------------------------------------------------------------------------
+# Device ops
+# ---------------------------------------------------------------------------
+
+def _bc(c: np.ndarray, ndim: int) -> jnp.ndarray:
+    """Broadcast a (16,) constant against a (16, *batch) operand."""
+    return jnp.asarray(c, dtype=_u32).reshape((NLIMB,) + (1,) * (ndim - 1))
+
+
+class Fp:
+    """Batched field ops over one FieldSpec. All methods are pure/jittable.
+
+    Elements are uint32 (16, *batch) arrays with canonical (< p) 16-bit
+    limbs. Montgomery-domain values are used for mul-heavy pipelines; the
+    domain is a caller-side convention (`to_mont` / `from_mont`).
+    """
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self._p = spec.p_limbs
+        self._one_raw = int_to_limbs(1)
+        if spec.ninv is not None:
+            self._r2 = spec.r2_limbs
+            self._one_mont = spec.one_mont
+            self._ninv = np.uint32(spec.ninv)
+            # exponent bit tables (LSB-first) for fixed-exponent powers
+            self._inv_exp_bits = self._exp_bits(spec.p - 2)
+
+    @staticmethod
+    def _exp_bits(e: int) -> np.ndarray:
+        nb = max(e.bit_length(), 1)
+        return np.array([(e >> i) & 1 for i in range(nb)], dtype=np.uint32)
+
+    # -- constants ----------------------------------------------------------
+    def zeros(self, batch_shape) -> jnp.ndarray:
+        return jnp.zeros((NLIMB,) + tuple(batch_shape), dtype=_u32)
+
+    def const(self, x: int, batch_shape=(), mont: bool = True) -> jnp.ndarray:
+        v = self.spec.to_mont_int(x) if mont else x % self.spec.p
+        c = jnp.asarray(int_to_limbs(v), dtype=_u32)
+        return jnp.broadcast_to(
+            c.reshape((NLIMB,) + (1,) * len(tuple(batch_shape))),
+            (NLIMB,) + tuple(batch_shape))
+
+    def one_mont(self, batch_shape) -> jnp.ndarray:
+        return self.const(1, batch_shape, mont=True)
+
+    # -- carry plumbing ------------------------------------------------------
+    # All limb-sequential passes are lax.scan loops so the HLO stays tiny
+    # (this matters: fully unrolled limb code blows the point-add graph to
+    # ~18k ops and XLA compile time to minutes). `unroll` trades HLO size
+    # against loop overhead.
+    _UNROLL = 4
+
+    @classmethod
+    def _carry_propagate(cls, cols: jnp.ndarray) -> jnp.ndarray:
+        """Normalize 16 u32 columns (< 2^31 each) to canonical 16-bit limbs.
+
+        The final carry out of limb 15 must be zero by the caller's bounds.
+        """
+        def body(c, col):
+            v = col + c
+            return v >> LIMB_BITS, v & MASK
+
+        _, out = jax.lax.scan(body, jnp.zeros_like(cols[0]), cols,
+                              unroll=cls._UNROLL)
+        return out
+
+    def _cond_sub_p(self, a: jnp.ndarray) -> jnp.ndarray:
+        """a (canonical limbs, value < 2p) -> a mod p."""
+        p = jnp.broadcast_to(_bc(self._p, a.ndim), a.shape).astype(_i32)
+
+        def body(borrow, xs):
+            ak, pk = xs
+            d = ak.astype(_i32) - pk - borrow
+            return (d < 0).astype(_i32), (d & MASK).astype(_u32)
+
+        borrow, diff = jax.lax.scan(
+            body, jnp.zeros(a.shape[1:], dtype=_i32), (a, p),
+            unroll=self._UNROLL)
+        return jnp.where((borrow == 0)[None], diff, a)
+
+    # -- ring ops ------------------------------------------------------------
+    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        s = self._carry_propagate(a + b)
+        return self._cond_sub_p(s)
+
+    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        p = _bc(self._p, a.ndim)
+        # a + (p - b): both < p so result in [1, 2p)
+        cols = a.astype(_i32) + p.astype(_i32) - b.astype(_i32)
+
+        def body(c, col):
+            v = col + c
+            return v >> LIMB_BITS, (v & MASK).astype(_u32)  # arithmetic shift borrow
+
+        _, s = jax.lax.scan(body, jnp.zeros(a.shape[1:], dtype=_i32), cols,
+                            unroll=self._UNROLL)
+        return self._cond_sub_p(s)
+
+    def neg(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.sub(self.zeros(a.shape[1:]), a)
+
+    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product a*b*R^-1 mod p.
+
+        Inputs: canonical limbs; a may be any value < R, b must be < p
+        (bound: result < 2p needs a*b/R + p < 2p, i.e. a*b < R*p).
+        Exactness: limb products < 2^32 in u32; column accumulators < 2^23.
+        """
+        a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
+        b = jnp.broadcast_to(b, a.shape)
+        bsh = a.shape[1:]
+        q = jnp.broadcast_to(_bc(self._p, a.ndim), a.shape)
+        ninv = _u32(self._ninv)
+        idx = jnp.arange(NLIMB, dtype=jnp.int32)
+
+        acc0 = jnp.zeros((2 * NLIMB,) + bsh, dtype=_u32)
+
+        # --- schoolbook product columns t[0..31] (scan over a's limbs)
+        def prod_body(acc, xs):
+            ai, i = xs
+            prod = ai[None] * b
+            seg = jax.lax.dynamic_slice_in_dim(acc, i, NLIMB + 1, axis=0)
+            seg = seg.at[:NLIMB].add(prod & MASK)
+            seg = seg.at[1:].add(prod >> LIMB_BITS)
+            return jax.lax.dynamic_update_slice_in_dim(acc, seg, i, axis=0), None
+
+        acc, _ = jax.lax.scan(prod_body, acc0, (a, idx))
+
+        # --- word-level Montgomery reduction (scan over 16 words)
+        def red_body(acc, i):
+            seg = jax.lax.dynamic_slice_in_dim(acc, i, NLIMB + 1, axis=0)
+            t0 = seg[0]
+            seg = seg.at[1].add(t0 >> LIMB_BITS)
+            t0 = t0 & MASK
+            m = (t0 * ninv) & MASK
+            prod = m[None] * q
+            seg = seg.at[0].set(t0 + (prod[0] & MASK))
+            seg = seg.at[1:NLIMB].add(prod[1:] & MASK)
+            seg = seg.at[1:].add(prod >> LIMB_BITS)
+            seg = seg.at[1].add(seg[0] >> LIMB_BITS)  # column i is dead after this
+            return jax.lax.dynamic_update_slice_in_dim(acc, seg, i, axis=0), None
+
+        acc, _ = jax.lax.scan(red_body, acc, idx)
+
+        res = acc[NLIMB:2 * NLIMB]
+        res = self._carry_propagate(res)
+        return self._cond_sub_p(res)
+
+    def sq(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.mul(a, a)
+
+    # -- Montgomery domain ----------------------------------------------------
+    def to_mont(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Canonical int limbs (any value < R) -> Montgomery domain mod p."""
+        return self.mul(a, _bc(self._r2, a.ndim) + self.zeros(a.shape[1:]))
+
+    def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.mul(a, _bc(self._one_raw, a.ndim) + self.zeros(a.shape[1:]))
+
+    # -- predicates ------------------------------------------------------------
+    @staticmethod
+    def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == b, axis=0)
+
+    @staticmethod
+    def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(a == 0, axis=0)
+
+    @staticmethod
+    def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """cond: (*batch,) bool -> where(cond, a, b) over (16, *batch)."""
+        return jnp.where(cond[None], a, b)
+
+    def gt_half_p(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Sign-bit convention of the reference: a > (p >> 1)?
+
+        (reference lib.rs:174, lib.rs:217).
+        """
+        h = _bc(self.spec.half_p, a.ndim)
+        # lexicographic compare from most-significant limb
+        gt = jnp.zeros(a.shape[1:], dtype=bool)
+        decided = jnp.zeros(a.shape[1:], dtype=bool)
+        for k in range(NLIMB - 1, -1, -1):
+            limb_gt = a[k] > h[k]
+            limb_lt = a[k] < h[k]
+            gt = jnp.where(~decided & limb_gt, True, gt)
+            decided = decided | limb_gt | limb_lt
+        return gt
+
+    # -- fixed-exponent powers ---------------------------------------------------
+    def _pow_const(self, a: jnp.ndarray, exp_bits: np.ndarray) -> jnp.ndarray:
+        """a^e (Montgomery domain) with LSB-first constant exponent bits."""
+        bits = jnp.asarray(exp_bits, dtype=_u32)
+
+        def body(i, carry):
+            r, base = carry
+            bit = bits[i]
+            r = self.select(bit == 1, self.mul(r, base), r)
+            base = self.sq(base)
+            return (r, base)
+
+        r0 = self.one_mont(a.shape[1:])
+        r, _ = jax.lax.fori_loop(0, int(exp_bits.shape[0]), body, (r0, a))
+        return r
+
+    def inv(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Fermat inverse a^(p-2), Montgomery domain. inv(0) = 0 (masked by callers)."""
+        return self._pow_const(a, self._inv_exp_bits)
+
+    def pow(self, a: jnp.ndarray, e: int) -> jnp.ndarray:
+        return self._pow_const(a, self._exp_bits(e))
+
+
+@functools.lru_cache(maxsize=None)
+def fq() -> Fp:
+    return Fp(FQ_SPEC)
+
+
+@functools.lru_cache(maxsize=None)
+def fl() -> Fp:
+    return Fp(FL_SPEC)
+
+
+@functools.lru_cache(maxsize=None)
+def fo() -> Fp:
+    return Fp(FO_SPEC)

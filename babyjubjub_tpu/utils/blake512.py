@@ -1,0 +1,178 @@
+"""BLAKE-512 (the original SHA-3-finalist BLAKE, NOT Blake2b).
+
+circomlib-compatible key-derivation hash; parity target is the reference's
+`blh` (/root/reference/src/lib.rs:226-237, backed by the `blake-hash` crate)
+pinned by the golden digest at /root/reference/src/lib.rs:694-696.
+
+Pure-python implementation with an optional C++ fast path (see
+babyjubjub_tpu/native/): `digest` dispatches to the native library when it
+has been built, since host-side hashing sits on the batch-sign critical path
+(one digest per message for the deterministic nonce).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+
+_M64 = (1 << 64) - 1
+
+_IV = (
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B, 0xA54FF53A5F1D36F1,
+    0x510E527FADE682D1, 0x9B05688C2B3E6C1F, 0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+)
+
+# First 1024 bits of pi (the BLAKE "u512" constants).
+_CST = (
+    0x243F6A8885A308D3, 0x13198A2E03707344, 0xA4093822299F31D0, 0x082EFA98EC4E6C89,
+    0x452821E638D01377, 0xBE5466CF34E90C6C, 0xC0AC29B7C97C50DD, 0x3F84D5B5B5470917,
+    0x9216D5D98979FB1B, 0xD1310BA698DFB5AC, 0x2FFD72DBD01ADFB7, 0xB8E1AFED6A267E96,
+    0xBA7C9045F12C7F99, 0x24A19947B3916CF7, 0x0801F2E2858EFC16, 0x636920D871574E69,
+)
+
+_SIGMA = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    (11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    (7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    (9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    (2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    (12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    (13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    (6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    (10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+)
+
+
+def _rotr(x: int, n: int) -> int:
+    return ((x >> n) | (x << (64 - n))) & _M64
+
+
+def _compress(h: list, block: bytes, t: int) -> list:
+    m = struct.unpack(">16Q", block)
+    v = list(h) + [
+        _CST[0], _CST[1], _CST[2], _CST[3],
+        _CST[4] ^ (t & _M64), _CST[5] ^ (t & _M64),
+        _CST[6] ^ (t >> 64), _CST[7] ^ (t >> 64),
+    ]
+
+    def g(a, b, c, d, i, sig):
+        va, vb, vc, vd = v[a], v[b], v[c], v[d]
+        va = (va + vb + (m[sig[2 * i]] ^ _CST[sig[2 * i + 1]])) & _M64
+        vd = _rotr(vd ^ va, 32)
+        vc = (vc + vd) & _M64
+        vb = _rotr(vb ^ vc, 25)
+        va = (va + vb + (m[sig[2 * i + 1]] ^ _CST[sig[2 * i]])) & _M64
+        vd = _rotr(vd ^ va, 16)
+        vc = (vc + vd) & _M64
+        vb = _rotr(vb ^ vc, 11)
+        v[a], v[b], v[c], v[d] = va, vb, vc, vd
+
+    for r in range(16):
+        sig = _SIGMA[r % 10]
+        g(0, 4, 8, 12, 0, sig)
+        g(1, 5, 9, 13, 1, sig)
+        g(2, 6, 10, 14, 2, sig)
+        g(3, 7, 11, 15, 3, sig)
+        g(0, 5, 10, 15, 4, sig)
+        g(1, 6, 11, 12, 5, sig)
+        g(2, 7, 8, 13, 6, sig)
+        g(3, 4, 9, 14, 7, sig)
+
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]  # zero salt
+
+
+def _digest_py(data: bytes) -> bytes:
+    h = list(_IV)
+    ell = 8 * len(data)  # message bit length
+
+    # full blocks
+    n_full = len(data) // 128
+    for i in range(n_full):
+        t = 1024 * (i + 1)
+        h = _compress(h, data[128 * i:128 * (i + 1)], t)
+
+    rest = data[128 * n_full:]
+    rest_bits = 8 * len(rest)
+
+    # padding: 0x80, zeros to 111 bytes (mod 128), 0x01, 16-byte BE length
+    pad = bytearray(rest)
+    if len(pad) == 111:
+        pad.append(0x81)
+    else:
+        pad.append(0x80)
+        while len(pad) % 128 != 111:
+            pad.append(0x00)
+        pad.append(0x01)
+    pad += ell.to_bytes(16, "big")
+
+    # counter semantics: t counts message bits contained in the block;
+    # a block holding no message bits uses t = 0.
+    base = 1024 * n_full
+    blocks = [bytes(pad[i:i + 128]) for i in range(0, len(pad), 128)]
+    for bi, blk in enumerate(blocks):
+        if bi == 0 and rest_bits > 0:
+            t = base + rest_bits
+        elif bi == 0 and rest_bits == 0 and len(blocks) == 1 and ell % 1024 == 0 and ell > 0:
+            # cannot happen: rest empty means pure-padding block -> t = 0
+            t = 0
+        else:
+            t = 0
+        h = _compress(h, blk, t)
+
+    return struct.pack(">8Q", *h)
+
+
+# ---------------------------------------------------------------------------
+# Native dispatch
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    so = os.path.join(os.path.dirname(__file__), os.pardir, "native",
+                      "libbjjnative.so")
+    so = os.path.abspath(so)
+    if os.path.exists(so):
+        try:
+            lib = ctypes.CDLL(so)
+            lib.blake512_digest.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+            lib.blake512_digest.restype = None
+            lib.blake512_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+                ctypes.c_char_p]
+            lib.blake512_batch.restype = None
+            _NATIVE = lib
+            return lib
+        except OSError:
+            pass
+    _NATIVE = False
+    return False
+
+
+def digest(data: bytes) -> bytes:
+    """BLAKE-512 digest (64 bytes). Native C++ path when available."""
+    lib = _load_native()
+    if lib:
+        out = ctypes.create_string_buffer(64)
+        lib.blake512_digest(bytes(data), len(data), out)
+        return out.raw
+    return _digest_py(data)
+
+
+def digest_batch(msgs: list) -> list:
+    """Batch of equal-length messages -> list of 64-byte digests."""
+    lib = _load_native()
+    if lib and msgs and all(len(m) == len(msgs[0]) for m in msgs):
+        n, ln = len(msgs), len(msgs[0])
+        buf = b"".join(msgs)
+        out = ctypes.create_string_buffer(64 * n)
+        lib.blake512_batch(buf, ln, n, out)
+        return [out.raw[64 * i:64 * (i + 1)] for i in range(n)]
+    return [digest(m) for m in msgs]

@@ -1,0 +1,23 @@
+"""Test harness config: CPU backend with 8 virtual devices.
+
+Multi-chip sharding paths (mesh + shard_map + collectives) are exercised on a
+virtual 8-device CPU mesh, mirroring how the reference's CI runs its full
+suite on plain runners (/root/reference/.github/workflows/test.yml).
+"""
+
+import os
+
+# Must run before any jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Persistent compilation cache: the limb-scan graphs constant-fold slowly on
+# first compile; cache them across test runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
