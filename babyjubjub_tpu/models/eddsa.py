@@ -1,0 +1,137 @@
+"""Batched EdDSA-Poseidon ("Baby-EdDSA") pipelines — the flagship model.
+
+The reference signs/verifies one message at a time
+(/root/reference/src/lib.rs:308-342, 395-412). Here the same protocol is a
+batch pipeline: host does byte-level nonce derivation (BLAKE-512), the
+device runs every field/curve/Poseidon stage over the whole batch:
+
+  sign:   R = r*B8 (comb) ; A = sk*B8 (comb) ; hm = Poseidon6 ;
+          s = (r + hm*(sk<<3)) mod SUBORDER       [device scalar field]
+  verify: hm = Poseidon6 ; L = s*B8 (comb) ;
+          R' = R + (8*hm mod ORDER)*A (windowed)  ; affine-equality
+          without inversions (cross-multiplied).
+
+Scalars passed to ladders are < 2^256; reduction mod ORDER is group-exact
+for every curve point (all orders divide ORDER), so results are bit-equal
+to the reference's arbitrary-length LSB-first ladder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F, curve as C, poseidon as P
+from ..utils import hostmath as H, codec, blake512
+from . import keys as K
+
+fq = F.fq()
+fl = F.fl()
+fo = F.fo()
+
+
+# ---------------------------------------------------------------------------
+# device cores (jitted per batch shape)
+# ---------------------------------------------------------------------------
+
+def sign_core(r_s, sk_s, sk8_s, msg_s):
+    """All inputs (16, B) canonical limbs. Returns (Rx_m, Ry_m, s_limbs)."""
+    rx, ry = C.to_affine(C.fixed_base_mul(r_s))
+    ax, ay = C.to_affine(C.fixed_base_mul(sk_s))
+    msg_m = fq.to_mont(msg_s)
+    hm_in = jnp.stack([rx, ry, ax, ay, msg_m], axis=1)  # (16, 5, B)
+    hm = P.hash_mont(hm_in)
+    hm_can = fq.from_mont(hm)
+    # s = (r + hm * (sk << 3)) mod SUBORDER, in the device scalar field
+    hm_l = fl.to_mont(hm_can)
+    sk8_l = fl.to_mont(sk8_s)
+    r_l = fl.to_mont(r_s)
+    s = fl.from_mont(fl.add(fl.mul(hm_l, sk8_l), r_l))
+    return rx, ry, s
+
+
+def public_core(sk_s):
+    return C.to_affine(C.fixed_base_mul(sk_s))
+
+
+def verify_core(rx_m, ry_m, ax_m, ay_m, s_s, msg_s):
+    """R/A Montgomery affine, s/msg canonical limbs. Returns bool (B,)."""
+    msg_m = fq.to_mont(msg_s)
+    hm_in = jnp.stack([rx_m, ry_m, ax_m, ay_m, msg_m], axis=1)
+    hm = P.hash_mont(hm_in)
+    hm_can = fq.from_mont(hm)
+    # 8*hm mod ORDER (additive ring; ORDER is even so no Montgomery there)
+    t = fo.add(hm_can, hm_can)
+    t = fo.add(t, t)
+    t = fo.add(t, t)
+    left = C.fixed_base_mul(s_s)                      # projective s*B8
+    pkm = C.scalar_mul_windowed((ax_m, ay_m), t)      # projective (8hm)*A
+    right = C.add(pkm, C.to_projective((rx_m, ry_m)))
+    return C.affine_eq_proj(left, right)
+
+
+_sign_core = jax.jit(sign_core)
+_public_core = jax.jit(public_core)
+_verify_core = jax.jit(verify_core)
+
+
+# ---------------------------------------------------------------------------
+# host <-> device marshalling helpers
+# ---------------------------------------------------------------------------
+
+def _limbs(xs) -> np.ndarray:
+    return F.ints_to_array([int(x) for x in xs])
+
+
+def _nonces(keys: list, msgs: list) -> list:
+    """Deterministic per-message nonce r (reference lib.rs:316-328)."""
+    out = []
+    hs = [blake512.digest(k) for k in keys]
+    bufs = [h[32:64] + int(m).to_bytes(32, "little") for h, m in zip(hs, msgs)]
+    for d in blake512.digest_batch(bufs):
+        out.append(codec.bytes_le_to_int(d) % H.SUBORDER)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public batch API
+# ---------------------------------------------------------------------------
+
+def public_batch(keys: list) -> list:
+    """[(x, y)] public keys for a list of 32-byte private keys."""
+    sks = [K.scalar_key(k) for k in keys]
+    ax, ay = _public_core(_limbs(sks))
+    return C.arrays_to_points((ax, ay))
+
+
+def sign_batch(keys: list, msgs: list) -> list:
+    """Batch EdDSA-Poseidon sign. Returns [((rx, ry), s), ...].
+
+    Raises ValueError when any msg > Q (reference lib.rs:309-311).
+    """
+    for m in msgs:
+        if m > H.Q:
+            raise ValueError("msg outside the Finite Field")
+    sks = [K.scalar_key(k) for k in keys]
+    rs = _nonces(keys, msgs)
+    rx, ry, s = _sign_core(
+        _limbs(rs), _limbs(sks), _limbs([sk << 3 for sk in sks]),
+        _limbs([m % H.Q for m in msgs]))
+    r_pts = C.arrays_to_points((rx, ry))
+    s_ints = F.array_to_ints(s)
+    return list(zip(r_pts, s_ints))
+
+
+def verify_batch(pks: list, sigs: list, msgs: list) -> list:
+    """Batch EdDSA-Poseidon verify -> [bool]. msg > Q lanes are False
+    (reference lib.rs:396-398)."""
+    ok_range = [m <= H.Q for m in msgs]
+    ax, ay = C.points_to_arrays(pks)
+    rx, ry = C.points_to_arrays([sig[0] for sig in sigs])
+    s_s = _limbs([sig[1] for sig in sigs])
+    msg_s = _limbs([m % H.Q for m in msgs])
+    ok = np.asarray(_verify_core(rx, ry, ax, ay, s_s, msg_s))
+    return [bool(a and b) for a, b in zip(ok, ok_range)]

@@ -1,0 +1,49 @@
+"""Key material: import, BLAKE-512 derivation, RFC-8032 pruning, keygen.
+
+Parity targets:
+  * PrivateKey::import     /root/reference/src/lib.rs:275-282
+  * PrivateKey::scalar_key /root/reference/src/lib.rs:284-302
+  * new_key                /root/reference/src/lib.rs:387-393
+
+Key material entropy comes from the host CSPRNG (`secrets`) — never from
+the deterministic JAX PRNG.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+from ..utils import blake512
+from ..utils.codec import bytes_le_to_int
+
+
+def import_key(b: bytes) -> bytes:
+    """Validate a raw 32-byte private key (reference lib.rs:275-282)."""
+    if len(b) != 32:
+        # reference error text quirk preserved ("bigger than" for any size)
+        raise ValueError("imported key can not be bigger than 32 bytes")
+    return bytes(b)
+
+
+def new_key_bytes() -> bytes:
+    """Fresh 32-byte private key from the host CSPRNG (lib.rs:387-393)."""
+    return secrets.token_bytes(32)
+
+
+def blake_hash(key: bytes) -> bytes:
+    """64-byte BLAKE-512 of the raw key (reference `blh`, lib.rs:226-237)."""
+    return blake512.digest(key)
+
+
+def prune_to_scalar(h32: bytes) -> int:
+    """RFC-8032 pruning of the first 32 digest bytes, then >> 3
+    (reference lib.rs:290-302)."""
+    h = bytearray(h32[:32])
+    h[0] &= 0xF8
+    h[31] &= 0x7F
+    h[31] |= 0x40
+    return bytes_le_to_int(h) >> 3
+
+
+def scalar_key(key: bytes) -> int:
+    return prune_to_scalar(blake_hash(key)[:32])

@@ -165,6 +165,24 @@ def scalar_mul(aff, scalars, nbits: int = 256):
     return to_affine(r)
 
 
+def affine_eq_proj(p, s):
+    """Affine equality of two projective batches without inversions.
+
+    Matches reference semantics where affine() of z == 0 is (0, 0)
+    (lib.rs:70-76) and equality is plain coordinate equality (lib.rs:180).
+    """
+    lx, ly, lz = p
+    sx, sy, sz = s
+    lz0 = fq.is_zero(lz)
+    sz0 = fq.is_zero(sz)
+    cross = fq.eq(fq.mul(lx, sz), fq.mul(sx, lz)) & \
+        fq.eq(fq.mul(ly, sz), fq.mul(sy, lz))
+    one_zero = lz0 ^ sz0
+    alt = jnp.where(lz0, fq.is_zero(sx) & fq.is_zero(sy),
+                    fq.is_zero(lx) & fq.is_zero(ly))
+    return jnp.where(one_zero, alt, cross)
+
+
 def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int = 4):
     """Variable-base scalar mul with a w-bit window (MSB-first).
 
@@ -218,8 +236,11 @@ def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int = 4):
     r0 = identity(bsh)
     # first window without the leading doublings of identity is fine too,
     # but keep it uniform for simplicity
-    r = jax.lax.fori_loop(0, nwin, body, r0)
-    return to_affine(r)
+    return jax.lax.fori_loop(0, nwin, body, r0)
+
+
+def scalar_mul_windowed_affine(aff, scalars, nbits: int = 256, w: int = 4):
+    return to_affine(scalar_mul_windowed(aff, scalars, nbits, w))
 
 
 # ---------------------------------------------------------------------------
@@ -248,23 +269,27 @@ def _comb_table(base: tuple, w: int = 4, nbits: int = 256) -> np.ndarray:
     return out
 
 
-def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256):
+def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256,
+                   win_offset=0, nwin_local: int | None = None):
     """scalar * base for a fixed base point: 64 table-selected adds, no doubles.
 
     scalars: (16, *batch) canonical limbs < 2^256 (reduce mod ORDER first).
+    `win_offset`/`nwin_local` select a contiguous window subset so comb
+    windows can shard across a mesh axis (partial sums combined by the
+    caller with point adds — the comb is a plain group sum over windows).
     """
     table = jnp.asarray(_comb_table(tuple(base), w, nbits))  # (nwin,tsize,2,16)
-    nwin = nbits // w
+    nwin = nwin_local if nwin_local is not None else nbits // w
     tsize = 1 << w
     bsh = scalars.shape[1:]
     one = fq.one_mont(bsh)
 
     def body(j, r):
-        bitpos = j * w
+        bitpos = (j + win_offset) * w
         limb = jax.lax.dynamic_index_in_dim(scalars, bitpos >> 4, axis=0,
                                             keepdims=False)
-        digit = (limb >> (bitpos & 15)) & (tsize - 1)
-        ttab = jax.lax.dynamic_index_in_dim(table, j, axis=0,
+        digit = (limb >> (bitpos % 16)) & (tsize - 1)
+        ttab = jax.lax.dynamic_index_in_dim(table, j + win_offset, axis=0,
                                             keepdims=False)  # (tsize,2,16)
         oh = (digit[None] == jnp.arange(tsize, dtype=_u32)
               .reshape((tsize,) + (1,) * digit.ndim)).astype(_u32)
@@ -273,8 +298,11 @@ def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256):
         tx, ty = sel[0], sel[1]
         return add(r, (tx, ty, one))
 
-    r = jax.lax.fori_loop(0, nwin, body, identity(bsh))
-    return to_affine(r)
+    return jax.lax.fori_loop(0, nwin, body, identity(bsh))
+
+
+def fixed_base_mul_affine(scalars, base=H.B8, w: int = 4, nbits: int = 256):
+    return to_affine(fixed_base_mul(scalars, base, w, nbits))
 
 
 # ---------------------------------------------------------------------------

@@ -212,23 +212,14 @@ class Fp:
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.sub(self.zeros(a.shape[1:]), a)
 
-    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """Montgomery product a*b*R^-1 mod p.
-
-        Inputs: canonical limbs; a may be any value < R, b must be < p
-        (bound: result < 2p needs a*b/R + p < 2p, i.e. a*b < R*p).
-        Exactness: limb products < 2^32 in u32; column accumulators < 2^23.
-        """
+    def _prod_columns(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Schoolbook product columns of a*b: (32, *batch) u32, cols < 2^21."""
         a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
         b = jnp.broadcast_to(b, a.shape)
         bsh = a.shape[1:]
-        q = jnp.broadcast_to(_bc(self._p, a.ndim), a.shape)
-        ninv = _u32(self._ninv)
         idx = jnp.arange(NLIMB, dtype=jnp.int32)
-
         acc0 = jnp.zeros((2 * NLIMB,) + bsh, dtype=_u32)
 
-        # --- schoolbook product columns t[0..31] (scan over a's limbs)
         def prod_body(acc, xs):
             ai, i = xs
             prod = ai[None] * b
@@ -238,8 +229,19 @@ class Fp:
             return jax.lax.dynamic_update_slice_in_dim(acc, seg, i, axis=0), None
 
         acc, _ = jax.lax.scan(prod_body, acc0, (a, idx))
+        return acc
 
-        # --- word-level Montgomery reduction (scan over 16 words)
+    def _mont_reduce(self, acc: jnp.ndarray, n_sub: int = 1) -> jnp.ndarray:
+        """Word-level Montgomery reduction of 32 product columns -> 16 limbs.
+
+        `n_sub`: number of conditional-subtract passes; 1 suffices for a
+        single product (result < 2p), lazy sums of k products need
+        ceil(log2(k/2)) + 1 (see `dot`).
+        """
+        q = jnp.broadcast_to(_bc(self._p, acc.ndim), (NLIMB,) + acc.shape[1:])
+        ninv = _u32(self._ninv)
+        idx = jnp.arange(NLIMB, dtype=jnp.int32)
+
         def red_body(acc, i):
             seg = jax.lax.dynamic_slice_in_dim(acc, i, NLIMB + 1, axis=0)
             t0 = seg[0]
@@ -257,7 +259,34 @@ class Fp:
 
         res = acc[NLIMB:2 * NLIMB]
         res = self._carry_propagate(res)
-        return self._cond_sub_p(res)
+        for _ in range(n_sub):
+            res = self._cond_sub_p(res)
+        return res
+
+    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product a*b*R^-1 mod p.
+
+        Inputs: canonical limbs; a may be any value < R, b must be < p
+        (bound: result < 2p needs a*b/R + p < 2p, i.e. a*b < R*p).
+        Exactness: limb products < 2^32 in u32; column accumulators < 2^23.
+        """
+        return self._mont_reduce(self._prod_columns(a, b))
+
+    def dot(self, a: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
+        """Lazy-reduction dot product: sum_j a[:, j] * b[:, j] (mod p).
+
+        a, b: (16, k, *batch) canonical limbs, all values < p; the k partial
+        products are summed in column space and reduced ONCE — the classic
+        Poseidon-MDS optimization (saves k-1 Montgomery reductions).
+        Requires k <= 8 so the reduced value p*(k/4 + 1) stays below 2^256
+        (the 16-limb carry-propagate capacity); callers chunk larger sums.
+        """
+        assert k <= 8
+        cols = self._prod_columns(a, b)          # (32, k, *batch)
+        cols = jnp.sum(cols, axis=1)             # (32, *batch) < k*2^21
+        # result < p * (k*p/R + 1) <= p * (k/4 + 1) since p < R/4
+        n_sub = max(1, -(-k // 4))
+        return self._mont_reduce(cols, n_sub=n_sub)
 
     def sq(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)
@@ -322,6 +351,44 @@ class Fp:
 
     def pow(self, a: jnp.ndarray, e: int) -> jnp.ndarray:
         return self._pow_const(a, self._exp_bits(e))
+
+    # -- square root (Tonelli-Shanks, fixed bound) -------------------------------
+    @functools.cached_property
+    def _sqrt_consts(self):
+        p = self.spec.p
+        m = 0
+        qodd = p - 1
+        while qodd % 2 == 0:
+            qodd //= 2
+            m += 1
+        z = 2
+        while pow(z, (p - 1) >> 1, p) != p - 1:
+            z += 1
+        g = pow(z, qodd, p)  # generator of the 2-Sylow subgroup
+        return m, qodd, int_to_limbs(self.spec.to_mont_int(g))
+
+    def sqrt(self, a: jnp.ndarray):
+        """Batched Tonelli-Shanks square root, Montgomery domain.
+
+        Replaces reference utils.rs:109-160 with a branch-free masked loop
+        whose bound is the static 2-adicity of p-1 (28 for BN254-Fr, so the
+        general q = 1 mod 4 branch of the reference always applies).
+        Returns (root, is_qr): root^2 == a when is_qr; root arbitrary else.
+        """
+        m, qodd, g_limbs = self._sqrt_consts
+        w = self._pow_const(a, self._exp_bits((qodd - 1) // 2))
+        r = self.mul(w, a)
+        t = self.mul(r, w)  # a^qodd
+        c = jnp.broadcast_to(_bc(g_limbs, a.ndim), a.shape)
+        one = self.one_mont(a.shape[1:])
+        for i in range(m - 2, -1, -1):
+            d = jax.lax.fori_loop(0, i, lambda _, x: self.sq(x), t)
+            flip = ~self.eq(d, one)
+            r = self.select(flip, self.mul(r, c), r)
+            c = self.sq(c)
+            t = self.select(flip, self.mul(t, c), t)
+        is_qr = self.eq(self.sq(r), a)
+        return r, is_qr
 
 
 @functools.lru_cache(maxsize=None)

@@ -58,7 +58,7 @@ SCALARS = [0, 1, 2, 3, 7, N_BIG, H.SUBORDER - 1, H.ORDER - 1,
            random.Random(7).randrange(1 << 254)]
 
 
-@pytest.mark.parametrize("fn", [C.scalar_mul, C.scalar_mul_windowed],
+@pytest.mark.parametrize("fn", [C.scalar_mul, C.scalar_mul_windowed_affine],
                          ids=["ladder", "windowed"])
 def test_device_scalar_mul(fn):
     sa = F.ints_to_array(SCALARS)
@@ -71,7 +71,7 @@ def test_device_scalar_mul(fn):
 
 def test_fixed_base_mul():
     sa = F.ints_to_array(SCALARS)
-    got = C.arrays_to_points(jax.jit(C.fixed_base_mul)(sa))
+    got = C.arrays_to_points(jax.jit(C.fixed_base_mul_affine)(sa))
     assert got == [H.mul_scalar(H.B8, s) for s in SCALARS]
 
 

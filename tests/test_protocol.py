@@ -1,0 +1,114 @@
+"""Protocol golden tests: the reference's own test suite, ported.
+
+Sources (reference /root/reference/src/lib.rs):
+  * test_circomlib_testvector  lib.rs:689-738  (the master KAT)
+  * test_new_key_sign_verify   lib.rs:554-572
+  * test_signature_compress_decompress lib.rs:656-675
+  * test_schnorr_signature     lib.rs:677-686
+"""
+
+import pytest
+
+import babyjubjub_tpu as bjj
+from babyjubjub_tpu.models import eddsa, keys, schnorr
+from babyjubjub_tpu.utils import blake512, hostmath as H
+
+KEY_HEX = "0001020304050607080900010203040506070809000102030405060708090001"
+KEY = bytes.fromhex(KEY_HEX)
+MSG = int.from_bytes(bytes.fromhex("00010203040506070809"), "little")
+
+
+def test_blake512_golden():
+    # reference lib.rs:694-696
+    assert blake512.digest(KEY).hex() == (
+        "c992db23d6290c70ffcc02f7abeb00b9d00fa8b43e55d7949c28ba6be7545d32"
+        "53882a61bd004a236ef1cdba01b27ba0aedfb08eefdbfb7c19657c880b43ddf1")
+
+
+def test_circomlib_master_vector():
+    sk = bjj.PrivateKey(KEY)
+    assert sk.scalar_key() == (
+        6466070937662820620902051049739362987537906109895538826186780010858059362905)
+    pk = sk.public()
+    assert pk.x == 0x1d5ac1f31407018b7d413a4f52c8f74463b30e6ac2238220ad8b254de4eaa3a2
+    assert pk.y == 0x1e1de8a908826c3f9ac2e0ceee929ecd0caf3b99b3ef24523aaab796a6f733c4
+    sig = sk.sign(MSG)
+    assert sig.r_b8.x == 0x192b4e51adf302c8139d356d0e08e2404b5ace440ef41fc78f5c4f2428df0765
+    assert sig.r_b8.y == 0x2202bebcf57b820863e0acc88970b6ca7d987a0d513c2ddeb42e3f5d31b4eddf
+    assert sig.s == (
+        1672775540645840396591609181675628451599263765380031905495115170613215233181)
+    assert bjj.verify(pk, sig, MSG)
+
+
+def test_sign_verify_roundtrip():
+    sk = bjj.new_key()
+    pk = sk.public()
+    for msg in (5, 123456789012345678901234567890):
+        sig = sk.sign(msg)
+        assert bjj.verify(pk, sig, msg)
+        assert not bjj.verify(pk, sig, msg + 1)
+        assert not bjj.verify(pk, bjj.Signature(sig.r_b8, sig.s + 1), msg)
+
+
+def test_msg_range_checks():
+    sk = bjj.PrivateKey(KEY)
+    pk = sk.public()
+    # reference uses > (not >=): msg == Q passes and wraps (lib.rs:309)
+    sig = sk.sign(H.Q)
+    assert bjj.verify(pk, sig, H.Q)
+    with pytest.raises(ValueError):
+        sk.sign(H.Q + 1)
+    assert bjj.verify(pk, sig, H.Q + 1) is False
+
+
+def test_signature_compress_roundtrip():
+    sk = bjj.PrivateKey(KEY)
+    pk = sk.public()
+    for i in range(3):
+        msg = int("123456" + str(i))
+        sig = sk.sign(msg)
+        wire = sig.compress()
+        assert len(wire) == 64
+        sig2 = bjj.decompress_signature(wire)
+        assert sig2.r_b8.equals(sig.r_b8) and sig2.s == sig.s
+        assert bjj.verify(pk, sig2, msg)
+
+
+def test_schnorr_roundtrip():
+    sk = bjj.new_key()
+    pk = sk.public()
+    msg = 123456789012345678901234567890
+    r, s = sk.sign_schnorr(msg)
+    assert bjj.verify_schnorr(pk, msg, r, s)
+    assert not bjj.verify_schnorr(pk, msg + 1, r, s)
+    assert not bjj.verify_schnorr(pk, msg, r, s + 1)
+
+
+def test_import_key_validation():
+    with pytest.raises(ValueError):
+        bjj.PrivateKey(b"\x00" * 31)
+    with pytest.raises(ValueError):
+        bjj.PrivateKey(b"\x00" * 33)
+
+
+def test_batch_pipelines():
+    ks = [keys.new_key_bytes() for _ in range(4)]
+    msgs = [5, 7, 11, 13]
+    pks = eddsa.public_batch(ks)
+    sigs = eddsa.sign_batch(ks, msgs)
+    assert eddsa.verify_batch(pks, sigs, msgs) == [True] * 4
+    bad = [(r, s + 1) for r, s in sigs]
+    assert eddsa.verify_batch(pks, bad, msgs) == [False] * 4
+    # cross-lane shuffle fails
+    assert eddsa.verify_batch(pks, sigs[::-1], msgs) == [False, False, False, False]
+
+
+def test_batch_schnorr():
+    ks = [keys.new_key_bytes() for _ in range(3)]
+    msgs = [1, 2, 3]
+    sigs = schnorr.sign_schnorr_batch(ks, msgs)
+    pks = eddsa.public_batch(ks)
+    rs = [r for r, _ in sigs]
+    ss = [s for _, s in sigs]
+    assert schnorr.verify_schnorr_batch(pks, msgs, rs, ss) == [True] * 3
+    assert schnorr.verify_schnorr_batch(pks, [m + 1 for m in msgs], rs, ss) == [False] * 3
