@@ -81,8 +81,23 @@ def to_projective(aff):
 # Group ops
 # ---------------------------------------------------------------------------
 
+def _pallas_point_shape(p):
+    """Flat (16, B) batch eligible for the fused pallas point kernels?"""
+    x = p[0]
+    if x.ndim != 2 or x.shape[1] % F._PALLAS_TILE != 0:
+        return False
+    return F._pallas_enabled()
+
+
 def add(p, q):
-    """Unified projective addition, add-2008-bbjlp (reference lib.rs:88-131)."""
+    """Unified projective addition, add-2008-bbjlp (reference lib.rs:88-131).
+
+    On TPU, flat batches route through the fused Pallas kernel (all 11
+    field muls in one kernel, intermediates stay in VMEM).
+    """
+    if _pallas_point_shape(p) and p[0].shape == q[0].shape:
+        from .pallas import point as PK
+        return PK.point_add(p[0], p[1], p[2], q[0], q[1], q[2])
     x1, y1, z1 = p
     x2, y2, z2 = q
     a = fq.mul(z1, z2)
@@ -107,6 +122,9 @@ def add(p, q):
 
 def double(p):
     """Dedicated doubling, dbl-2008-bbjlp (4M + 4S + const-mul)."""
+    if _pallas_point_shape(p):
+        from .pallas import point as PK
+        return PK.point_double(p[0], p[1], p[2])
     x1, y1, z1 = p
     b = fq.sq(fq.add(x1, y1))
     c = fq.sq(x1)

@@ -118,6 +118,31 @@ def _bc(c: np.ndarray, ndim: int) -> jnp.ndarray:
     return jnp.asarray(c, dtype=_u32).reshape((NLIMB,) + (1,) * (ndim - 1))
 
 
+# Pallas kernels only on real accelerator backends; the CPU test backend
+# uses the portable XLA limb-scan path. Overridable for A/B benchmarking.
+_PALLAS_TILE = 512
+_PALLAS_MODE = "auto"  # "auto" | "on" | "off"
+
+
+def set_pallas(mode: str):
+    global _PALLAS_MODE
+    assert mode in ("auto", "on", "off")
+    _PALLAS_MODE = mode
+
+
+@functools.lru_cache(maxsize=None)
+def _default_backend_is_accel() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pallas_enabled() -> bool:
+    if _PALLAS_MODE == "on":
+        return True
+    if _PALLAS_MODE == "off":
+        return False
+    return _default_backend_is_accel()
+
+
 class Fp:
     """Batched field ops over one FieldSpec. All methods are pure/jittable.
 
@@ -159,9 +184,12 @@ class Fp:
     # -- carry plumbing ------------------------------------------------------
     # All limb-sequential passes are lax.scan loops so the HLO stays tiny
     # (this matters: fully unrolled limb code blows the point-add graph to
-    # ~18k ops and XLA compile time to minutes). `unroll` trades HLO size
-    # against loop overhead.
+    # ~18k ops and XLA compile time to minutes on the CPU backend).
+    # `unroll` trades HLO size against loop overhead; FULL_UNROLL switches
+    # to straight-line limb code (faster on TPU, pathological to compile on
+    # single-core CPU with constant inputs).
     _UNROLL = 4
+    FULL_UNROLL = False
 
     @classmethod
     def _carry_propagate(cls, cols: jnp.ndarray) -> jnp.ndarray:
@@ -169,6 +197,15 @@ class Fp:
 
         The final carry out of limb 15 must be zero by the caller's bounds.
         """
+        if cls.FULL_UNROLL:
+            out = []
+            c = jnp.zeros_like(cols[0])
+            for k in range(NLIMB):
+                v = cols[k] + c
+                out.append(v & MASK)
+                c = v >> LIMB_BITS
+            return jnp.stack(out)
+
         def body(c, col):
             v = col + c
             return v >> LIMB_BITS, v & MASK
@@ -181,6 +218,16 @@ class Fp:
         """a (canonical limbs, value < 2p) -> a mod p."""
         p = jnp.broadcast_to(_bc(self._p, a.ndim), a.shape).astype(_i32)
 
+        if self.FULL_UNROLL:
+            outs = []
+            borrow = jnp.zeros(a.shape[1:], dtype=_i32)
+            for k in range(NLIMB):
+                d = a[k].astype(_i32) - p[k] - borrow
+                outs.append((d & MASK).astype(_u32))
+                borrow = (d < 0).astype(_i32)
+            diff = jnp.stack(outs)
+            return jnp.where((borrow == 0)[None], diff, a)
+
         def body(borrow, xs):
             ak, pk = xs
             d = ak.astype(_i32) - pk - borrow
@@ -192,11 +239,36 @@ class Fp:
         return jnp.where((borrow == 0)[None], diff, a)
 
     # -- ring ops ------------------------------------------------------------
+    def _pallas_flat(self, a, b):
+        """(af, bf, shape) when the pallas elementwise path applies, else None."""
+        if not _pallas_enabled():
+            return None
+        sh = jnp.broadcast_shapes(a.shape, b.shape)
+        n = 1
+        for d in sh[1:]:
+            n *= d
+        if n % _PALLAS_TILE != 0:
+            return None
+        return (jnp.broadcast_to(a, sh).reshape(NLIMB, n),
+                jnp.broadcast_to(b, sh).reshape(NLIMB, n), sh)
+
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        flat = self._pallas_flat(a, b)
+        if flat is not None:
+            from .pallas import mulmod as _mk
+            af, bf, sh = flat
+            return _mk.addmod_spec(af, bf, self.spec,
+                                   tile=_PALLAS_TILE).reshape(sh)
         s = self._carry_propagate(a + b)
         return self._cond_sub_p(s)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        flat = self._pallas_flat(a, b)
+        if flat is not None:
+            from .pallas import mulmod as _mk
+            af, bf, sh = flat
+            return _mk.submod_spec(af, bf, self.spec,
+                                   tile=_PALLAS_TILE).reshape(sh)
         p = _bc(self._p, a.ndim)
         # a + (p - b): both < p so result in [1, 2p)
         cols = a.astype(_i32) + p.astype(_i32) - b.astype(_i32)
@@ -217,6 +289,18 @@ class Fp:
         a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
         b = jnp.broadcast_to(b, a.shape)
         bsh = a.shape[1:]
+
+        if self.FULL_UNROLL:
+            t = [jnp.zeros(bsh, dtype=_u32) for _ in range(2 * NLIMB)]
+            for i in range(NLIMB):
+                prod = a[i][None] * b
+                lo = prod & MASK
+                hi = prod >> LIMB_BITS
+                for j in range(NLIMB):
+                    t[i + j] = t[i + j] + lo[j]
+                    t[i + j + 1] = t[i + j + 1] + hi[j]
+            return jnp.stack(t)
+
         idx = jnp.arange(NLIMB, dtype=jnp.int32)
         acc0 = jnp.zeros((2 * NLIMB,) + bsh, dtype=_u32)
 
@@ -240,6 +324,28 @@ class Fp:
         """
         q = jnp.broadcast_to(_bc(self._p, acc.ndim), (NLIMB,) + acc.shape[1:])
         ninv = _u32(self._ninv)
+
+        if self.FULL_UNROLL:
+            t = [acc[i] for i in range(2 * NLIMB)]
+            for i in range(NLIMB):
+                t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+                ti = t[i] & MASK
+                m = (ti * ninv) & MASK
+                prod = m[None] * q
+                lo = prod & MASK
+                hi = prod >> LIMB_BITS
+                t[i] = ti + lo[0]
+                for j in range(1, NLIMB):
+                    t[i + j] = t[i + j] + lo[j]
+                for j in range(NLIMB):
+                    t[i + j + 1] = t[i + j + 1] + hi[j]
+                t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+            res = jnp.stack(t[NLIMB:2 * NLIMB])
+            res = self._carry_propagate(res)
+            for _ in range(n_sub):
+                res = self._cond_sub_p(res)
+            return res
+
         idx = jnp.arange(NLIMB, dtype=jnp.int32)
 
         def red_body(acc, i):
@@ -269,7 +375,22 @@ class Fp:
         Inputs: canonical limbs; a may be any value < R, b must be < p
         (bound: result < 2p needs a*b/R + p < 2p, i.e. a*b < R*p).
         Exactness: limb products < 2^32 in u32; column accumulators < 2^23.
+
+        On TPU backends, batches whose flattened size is a multiple of the
+        kernel tile route through the Pallas mulmod kernel (~20x the XLA
+        limb-scan path); other shapes and CPU fall back to the scans.
         """
+        if _pallas_enabled() and self.spec.ninv is not None:
+            sh = jnp.broadcast_shapes(a.shape, b.shape)
+            n = 1
+            for d in sh[1:]:
+                n *= d
+            if n % _PALLAS_TILE == 0:
+                from .pallas import mulmod as _mk
+                af = jnp.broadcast_to(a, sh).reshape(NLIMB, n)
+                bf = jnp.broadcast_to(b, sh).reshape(NLIMB, n)
+                return _mk.mulmod_spec(af, bf, self.spec,
+                                       tile=_PALLAS_TILE).reshape(sh)
         return self._mont_reduce(self._prod_columns(a, b))
 
     def dot(self, a: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:

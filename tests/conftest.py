@@ -7,14 +7,17 @@ suite on plain runners (/root/reference/.github/workflows/test.yml).
 
 import os
 
-# Must run before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before the first backend initialization. Note: this container's
+# sitecustomize pre-imports jax and pins jax_platforms to the axon TPU, so
+# the env var alone is not enough — override the config explicitly too.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-scan graphs constant-fold slowly on
 # first compile; cache them across test runs.
