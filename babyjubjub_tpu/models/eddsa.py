@@ -82,8 +82,28 @@ _verify_core = jax.jit(verify_core)
 # host <-> device marshalling helpers
 # ---------------------------------------------------------------------------
 
-def _limbs(xs) -> np.ndarray:
-    return F.ints_to_array([int(x) for x in xs])
+def _pad_to(n: int) -> int:
+    """Pad protocol batches to the Pallas tile on accelerators: every batch
+    size <= tile shares one compiled graph, and the kernels stay eligible."""
+    if not F._pallas_enabled():
+        return n
+    t = F._PALLAS_TILE
+    return ((n + t - 1) // t) * t
+
+
+def _limbs(xs, pad: int | None = None) -> np.ndarray:
+    arr = F.ints_to_array([int(x) for x in xs])
+    if pad is not None and pad != arr.shape[1]:
+        arr = np.pad(arr, ((0, 0), (0, pad - arr.shape[1])))
+    return arr
+
+
+def _points(pts, pad: int | None = None):
+    xs, ys = C.points_to_arrays(pts)
+    if pad is not None and pad != xs.shape[1]:
+        xs = np.pad(xs, ((0, 0), (0, pad - xs.shape[1])))
+        ys = np.pad(ys, ((0, 0), (0, pad - ys.shape[1])))
+    return xs, ys
 
 
 def _nonces(keys: list, msgs: list) -> list:
@@ -102,9 +122,10 @@ def _nonces(keys: list, msgs: list) -> list:
 
 def public_batch(keys: list) -> list:
     """[(x, y)] public keys for a list of 32-byte private keys."""
+    n = len(keys)
     sks = [K.scalar_key(k) for k in keys]
-    ax, ay = _public_core(_limbs(sks))
-    return C.arrays_to_points((ax, ay))
+    ax, ay = _public_core(_limbs(sks, _pad_to(n)))
+    return C.arrays_to_points((np.asarray(ax)[:, :n], np.asarray(ay)[:, :n]))
 
 
 def sign_batch(keys: list, msgs: list) -> list:
@@ -115,23 +136,28 @@ def sign_batch(keys: list, msgs: list) -> list:
     for m in msgs:
         if m > H.Q:
             raise ValueError("msg outside the Finite Field")
+    n = len(keys)
+    pad = _pad_to(n)
     sks = [K.scalar_key(k) for k in keys]
     rs = _nonces(keys, msgs)
     rx, ry, s = _sign_core(
-        _limbs(rs), _limbs(sks), _limbs([sk << 3 for sk in sks]),
-        _limbs([m % H.Q for m in msgs]))
-    r_pts = C.arrays_to_points((rx, ry))
-    s_ints = F.array_to_ints(s)
+        _limbs(rs, pad), _limbs(sks, pad),
+        _limbs([sk << 3 for sk in sks], pad),
+        _limbs([m % H.Q for m in msgs], pad))
+    r_pts = C.arrays_to_points((np.asarray(rx)[:, :n], np.asarray(ry)[:, :n]))
+    s_ints = F.array_to_ints(np.asarray(s)[:, :n])
     return list(zip(r_pts, s_ints))
 
 
 def verify_batch(pks: list, sigs: list, msgs: list) -> list:
     """Batch EdDSA-Poseidon verify -> [bool]. msg > Q lanes are False
     (reference lib.rs:396-398)."""
+    n = len(pks)
+    pad = _pad_to(n)
     ok_range = [m <= H.Q for m in msgs]
-    ax, ay = C.points_to_arrays(pks)
-    rx, ry = C.points_to_arrays([sig[0] for sig in sigs])
-    s_s = _limbs([sig[1] for sig in sigs])
-    msg_s = _limbs([m % H.Q for m in msgs])
-    ok = np.asarray(_verify_core(rx, ry, ax, ay, s_s, msg_s))
+    ax, ay = _points(pks, pad)
+    rx, ry = _points([sig[0] for sig in sigs], pad)
+    s_s = _limbs([sig[1] for sig in sigs], pad)
+    msg_s = _limbs([m % H.Q for m in msgs], pad)
+    ok = np.asarray(_verify_core(rx, ry, ax, ay, s_s, msg_s))[:n]
     return [bool(a and b) for a, b in zip(ok, ok_range)]

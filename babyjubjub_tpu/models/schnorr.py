@@ -47,22 +47,29 @@ def _schnorr_verify_core(sg_s, px_m, py_m, h_s, rx_m, ry_m):
 def schnorr_hash_batch(pks: list, msgs: list, cs: list) -> list:
     """h = Poseidon(pk.x, pk.y, c.x, c.y, msg) as ints
     (reference lib.rs:364-373). Raises when msg > Q."""
+    from .eddsa import _limbs, _points, _pad_to
     for m in msgs:
         if m > H.Q:
             raise ValueError("msg outside the Finite Field")
-    px, py = C.points_to_arrays(pks)
-    cx, cy = C.points_to_arrays(cs)
-    msg_s = F.ints_to_array([m % H.Q for m in msgs])
-    return F.array_to_ints(_schnorr_hash_core(px, py, cx, cy, msg_s))
+    n = len(pks)
+    pad = _pad_to(n)
+    px, py = _points(pks, pad)
+    cx, cy = _points(cs, pad)
+    msg_s = _limbs([m % H.Q for m in msgs], pad)
+    out = np.asarray(_schnorr_hash_core(px, py, cx, cy, msg_s))[:, :n]
+    return F.array_to_ints(out)
 
 
 def sign_schnorr_batch(keys: list, msgs: list) -> list:
     """Batch Schnorr sign -> [((rx, ry), s)] with s unreduced."""
+    from .eddsa import _limbs, _pad_to
+    n = len(keys)
+    pad = _pad_to(n)
     ks = [secrets.randbits(1024) for _ in keys]
-    r_pts = C.arrays_to_points(
-        _mul_b8_core(F.ints_to_array([k % H.ORDER for k in ks])))
-    pks = C.arrays_to_points(
-        _mul_b8_core(F.ints_to_array([K.scalar_key(k) for k in keys])))
+    rx, ry = _mul_b8_core(_limbs([k % H.ORDER for k in ks], pad))
+    r_pts = C.arrays_to_points((np.asarray(rx)[:, :n], np.asarray(ry)[:, :n]))
+    px, py = _mul_b8_core(_limbs([K.scalar_key(k) for k in keys], pad))
+    pks = C.arrays_to_points((np.asarray(px)[:, :n], np.asarray(py)[:, :n]))
     hs = schnorr_hash_batch(pks, msgs, r_pts)
     ss = [k + K.scalar_key(key) * h for k, key, h in zip(ks, keys, hs)]
     return list(zip(r_pts, ss))
@@ -70,10 +77,13 @@ def sign_schnorr_batch(keys: list, msgs: list) -> list:
 
 def verify_schnorr_batch(pks: list, msgs: list, rs: list, ss: list) -> list:
     """Batch Schnorr verify: s*B8 == r + h*pk (reference lib.rs:375-385)."""
+    from .eddsa import _limbs, _points, _pad_to
+    n = len(pks)
+    pad = _pad_to(n)
     hs = schnorr_hash_batch(pks, msgs, rs)
-    sg_s = F.ints_to_array([s % H.ORDER for s in ss])
-    h_s = F.ints_to_array(hs)  # h < Q < 2^256
-    px, py = C.points_to_arrays(pks)
-    rx, ry = C.points_to_arrays(rs)
-    ok = np.asarray(_schnorr_verify_core(sg_s, px, py, h_s, rx, ry))
+    sg_s = _limbs([s % H.ORDER for s in ss], pad)
+    h_s = _limbs(hs, pad)  # h < Q < 2^256
+    px, py = _points(pks, pad)
+    rx, ry = _points(rs, pad)
+    ok = np.asarray(_schnorr_verify_core(sg_s, px, py, h_s, rx, ry))[:n]
     return [bool(v) for v in ok]

@@ -409,6 +409,79 @@ class Fp:
         n_sub = max(1, -(-k // 4))
         return self._mont_reduce(cols, n_sub=n_sub)
 
+    # -- constant-matrix x vector products (MXU band trick) -------------------
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _band_big(m_rows: tuple):
+        """Banded int8 matrix for out[i] = sum_j m[i][j] * s[j] over Fp.
+
+        Entry layout: BIG[i*64 + kb, j*32 + b] = byte_{kb-b}(m[i][j]) - 128.
+        Returns (BIG int8, consts int32 (t_out*64,)).
+        """
+        t_out = len(m_rows)
+        t_in = len(m_rows[0])
+        big = np.zeros((t_out * 64, t_in * 32), dtype=np.int64)
+        for i in range(t_out):
+            for j in range(t_in):
+                c = int(m_rows[i][j])
+                for kb in range(64):
+                    for b in range(32):
+                        sh = kb - b
+                        if sh >= 0:
+                            big[i * 64 + kb, j * 32 + b] = (c >> (8 * sh)) & 0xFF
+        consts = (128 * big.sum(axis=1)
+                  - 128 * 128 * t_in * 32).astype(np.int32)
+        return (big - 128).astype(np.int8), consts
+
+    def const_matmul(self, m_rows: tuple, s: jnp.ndarray) -> jnp.ndarray:
+        """out[:, i, B] = sum_j m_rows[i][j] * s[:, j, B] (mod p), Montgomery.
+
+        m_rows: tuple-of-tuples of Montgomery-domain python ints (t_out,
+        t_in); s: (16, t_in, B) canonical Montgomery limbs. The multiply
+        runs as ONE int8 MXU matmul over a banded constant matrix (offset
+        -128 with exact correction); only the per-output Montgomery
+        reduction runs on the VPU (Pallas kernel when available).
+        Used by the Poseidon MDS mix.
+        """
+        t_out = len(m_rows)
+        t_in = len(m_rows[0])
+        if t_in > 8:
+            # regroup bound (2^31.6) only holds for <= 8 input elements;
+            # chunk the contraction and add the partial results mod p.
+            out = None
+            for lo_j in range(0, t_in, 8):
+                hi_j = min(lo_j + 8, t_in)
+                part = self.const_matmul(
+                    tuple(r[lo_j:hi_j] for r in m_rows), s[:, lo_j:hi_j])
+                out = part if out is None else self.add(out, part)
+            return out
+        b = s.shape[-1]
+        big, consts = Fp._band_big(tuple(tuple(int(v) for v in r)
+                                         for r in m_rows))
+        # state bytes with -128 offset: (t_in*32, B) int8
+        lo = (s & 0xFF).astype(_i32)
+        hi = ((s >> 8) & 0xFF).astype(_i32)
+        s_total = jnp.sum(lo + hi, axis=(0, 1))              # (B,)
+        x8 = jnp.stack([lo, hi], axis=2)                     # (16, t_in, 2, B)
+        x8 = jnp.transpose(x8, (1, 0, 2, 3)).reshape(t_in * 32, b)
+        x8 = (x8 - 128).astype(jnp.int8)
+        dot = jax.lax.dot_general(jnp.asarray(big), x8,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=_i32)
+        cols8 = dot + (128 * s_total)[None] + jnp.asarray(consts)[:, None]
+        cols8 = cols8.reshape(t_out, 64, b)
+        # regroup byte-stride -> 16-bit-stride u32 columns (< 2^31.6)
+        cols16 = (cols8[:, 0::2] + (cols8[:, 1::2] << 8)).astype(_u32)
+        acc = jnp.transpose(cols16, (1, 0, 2))               # (32, t_out, B)
+        n_sub = max(1, -(-t_in // 4))
+        if _pallas_enabled() and (t_out * b) % _PALLAS_TILE == 0:
+            from .pallas import mulmod as _mk
+            flat = acc.reshape(2 * NLIMB, t_out * b)
+            red = _mk.reduce_spec(flat, self.spec, n_sub=n_sub,
+                                  tile=_PALLAS_TILE)
+            return red.reshape(NLIMB, t_out, b)
+        return self._mont_reduce(acc, n_sub=n_sub)
+
     def sq(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)
 

@@ -35,6 +35,10 @@ def _mul(a, b):
     return MK.emit_mulmod(a, b, _QL, _NINV)
 
 
+def _sq(a):
+    return MK.emit_mont_reduce(MK.emit_sq_columns(a), _QL, _NINV)
+
+
 def _mul_const(c_limbs, b):
     c = [jnp.full_like(b[0], int(v)) for v in c_limbs]
     return MK.emit_mulmod(c, b, _QL, _NINV)
@@ -78,12 +82,12 @@ def emit_point_add(p, q):
 
 def emit_point_double(p):
     x1, y1, z1 = p
-    b = _mul(_add(x1, y1), _add(x1, y1))
-    c = _mul(x1, x1)
-    d = _mul(y1, y1)
+    b = _sq(_add(x1, y1))
+    c = _sq(x1)
+    d = _sq(y1)
     e = _mul_const(_A_M, c)
     f = _add(e, d)
-    h = _mul(z1, z1)
+    h = _sq(z1)
     j = _sub(f, _add(h, h))
     x3 = _mul(_sub(_sub(b, c), d), j)
     y3 = _mul(f, _sub(e, d))

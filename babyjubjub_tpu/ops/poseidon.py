@@ -36,6 +36,14 @@ _u32 = jnp.uint32
 
 
 @functools.lru_cache(maxsize=None)
+def _mds_mont_ints(t: int):
+    """MDS matrix as Montgomery-domain ints for the band matmul mix."""
+    _, m = grain.poseidon_params(t)
+    return tuple(tuple(F.FQ_SPEC.to_mont_int(m[i][j]) for j in range(t))
+                 for i in range(t))
+
+
+@functools.lru_cache(maxsize=None)
 def _device_constants(t: int):
     """(C, M) in Montgomery limb form: C (nrounds, t, 16), M (t, t, 16)."""
     c, m = grain.poseidon_params(t)
@@ -68,10 +76,15 @@ def permutation(state: jnp.ndarray, t: int) -> jnp.ndarray:
     m_dev = jnp.asarray(np.transpose(mm, (2, 0, 1)), dtype=_u32)
     m_dev = m_dev.reshape((F.NLIMB, t, t) + (1,) * (state.ndim - 2))
 
+    mds_ints = _mds_mont_ints(t)
+
     def mix(s):
-        # out[:, i] = sum_j M[i, j] * s[:, j]  via lazy-reduction dot.
-        # Layouts: contraction axis (t_in) must be axis 1 for Fp.dot;
-        # broadcasting inside dot aligns (16,t_in,t_out,1..) x (16,t_in,1,*b).
+        # out[:, i] = sum_j M[i, j] * s[:, j]: one banded int8 MXU matmul
+        # over (t*64, t*32) with a single Montgomery reduction per output
+        # element (Fp.const_matmul). Requires a flat batch.
+        if s.ndim == 3:
+            return fq.const_matmul(mds_ints, s)
+        # non-flat batch fallback: lazy-reduction dot
         chunks = []
         for lo in range(0, t, 8):
             hi = min(lo + 8, t)
@@ -111,10 +124,13 @@ def hash_mont(inputs: jnp.ndarray) -> jnp.ndarray:
     t = nin + 1
     if not 1 <= nin <= 16:
         raise ValueError("poseidon supports 1..16 inputs")
-    zero = fq.zeros((1,) + inputs.shape[2:])
-    state = jnp.concatenate([zero, inputs], axis=1)
-    out = permutation(state, t)
-    return out[:, 0]
+    batch_shape = inputs.shape[2:]
+    flat = inputs.reshape(F.NLIMB, nin, -1) if batch_shape else \
+        inputs.reshape(F.NLIMB, nin, 1)
+    zero = fq.zeros((1, flat.shape[2]))
+    state = jnp.concatenate([zero, flat], axis=1)
+    out = permutation(state, t)[:, 0]
+    return out.reshape((F.NLIMB,) + batch_shape)
 
 
 # ---------------------------------------------------------------------------

@@ -1,11 +1,13 @@
 """Benchmark harness. Prints ONE JSON line with the headline metric.
 
 Headline: BabyJubJub variable-base scalar mults/sec/chip (BASELINE.md
-north star: >= 10M/s on a v5e-8, i.e. 1.25M/s/chip). Also measures batch
-EdDSA-Poseidon verifies/sec (north star 1M/s per 8 chips = 125k/s/chip)
-and the criterion-suite analogs, reported in the `extra` field.
+north star: >= 10M/s on a v5e-8, i.e. 1.25M/s/chip). Extras: batch
+EdDSA-Poseidon verifies/sec (north star 1M/s per 8 chips), Poseidon
+hashes/sec, Montgomery mulmods/sec, point adds/sec — the criterion-suite
+analogs of /root/reference/benches/bench_babyjubjub.rs.
 
-Usage: python bench.py [--batch N] [--quick]
+Timing methodology: K-chained dependent iterations inside one jit
+(utils/timing.py) — honest under async dispatch and relay latency.
 """
 
 from __future__ import annotations
@@ -14,21 +16,10 @@ import argparse
 import json
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
-
-def _time_op(fn, args, iters, warmup=2):
-    import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 
 def main():
@@ -38,54 +29,98 @@ def main():
     args = ap.parse_args()
 
     import secrets
-    import jax
     import numpy as np
-    from babyjubjub_tpu.ops import field as F, curve as C
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from babyjubjub_tpu.ops import field as F, curve as C, poseidon as P
+    from babyjubjub_tpu.ops.pallas import mulmod as MK
     from babyjubjub_tpu.models import eddsa, keys
-    from babyjubjub_tpu.utils import hostmath as H
+    from babyjubjub_tpu.utils import hostmath as H, timing
 
     ndev = len(jax.devices())
     platform = jax.devices()[0].platform
-    B = args.batch or (512 if args.quick or platform == "cpu" else 16384)
-    iters = 2 if args.quick or platform == "cpu" else 10
+    on_accel = platform not in ("cpu",)
+    B = args.batch or (8192 if on_accel else 512)
+    if args.quick:
+        B = min(B, 2048)
+    k_hi = 5 if on_accel else 2
 
-    rng = np.random.default_rng(0)
+    # ---- inputs -----------------------------------------------------------
+    base_pts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER))
+                for _ in range(8)]
+    pts = (base_pts * (B // 8 + 1))[:B]
+    bx, by = map(jax.device_put, C.points_to_arrays(pts))
+    sa = jax.device_put(F.ints_to_array(
+        [secrets.randbelow(H.SUBORDER) for _ in range(B)]))
 
-    # ---- headline: variable-base scalar mults/s --------------------------
-    scalars = [secrets.randbelow(H.SUBORDER) for _ in range(B)]
-    pts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER))
-           for _ in range(min(B, 64))]
-    pts = (pts * (B // len(pts) + 1))[:B]
-    ba = C.points_to_arrays(pts)
-    sa = F.ints_to_array(scalars)
-    mul_fn = jax.jit(C.scalar_mul_windowed)
-    dt_mul = _time_op(mul_fn, (ba, sa), iters)
+    # ---- headline: variable-base scalar mults/s ---------------------------
+    def mul_step(s):
+        px, py, pz = C.scalar_mul_windowed((bx, by), s)
+        return (s ^ px) & 0xFFFF
+
+    dt_mul = timing.chain_timer(mul_step, sa, 1, k_hi)
     mults_per_s = B / dt_mul
 
-    # ---- batch verify /s ---------------------------------------------------
-    nk = min(B, 32)
+    # ---- batch EdDSA verify /s --------------------------------------------
+    nk = 8
     ks = [keys.new_key_bytes() for _ in range(nk)]
     msgs = [secrets.randbelow(H.Q) for _ in range(nk)]
     pks = eddsa.public_batch(ks)
     sigs = eddsa.sign_batch(ks, msgs)
     idx = list(range(B))
-    vx, vy = C.points_to_arrays([pks[i % nk] for i in idx])
-    rx, ry = C.points_to_arrays([sigs[i % nk][0] for i in idx])
-    ss = F.ints_to_array([sigs[i % nk][1] for i in idx])
-    ms = F.ints_to_array([msgs[i % nk] % H.Q for i in idx])
-    ver_fn = jax.jit(eddsa.verify_core)
-    ok = np.asarray(ver_fn(rx, ry, vx, vy, ss, ms))
+    vx, vy = map(jax.device_put,
+                 C.points_to_arrays([pks[i % nk] for i in idx]))
+    rx, ry = map(jax.device_put,
+                 C.points_to_arrays([sigs[i % nk][0] for i in idx]))
+    ss = jax.device_put(F.ints_to_array([sigs[i % nk][1] for i in idx]))
+    ms = jax.device_put(F.ints_to_array([msgs[i % nk] % H.Q for i in idx]))
+
+    ok = np.asarray(eddsa._verify_core(rx, ry, vx, vy, ss, ms))
     assert ok.all(), "bench verify produced False lanes"
-    dt_ver = _time_op(ver_fn, (rx, ry, vx, vy, ss, ms), iters)
+
+    def ver_step(m):
+        # real data dependency (verify cost is msg-independent)
+        okv = eddsa.verify_core(rx, ry, vx, vy, ss, m)
+        return m.at[0].set((m[0] + okv.astype(jax.numpy.uint32)) & 0xFFFF)
+
+    dt_ver = timing.chain_timer(ver_step, ms, 1, max(2, k_hi - 2))
     verifies_per_s = B / dt_ver
 
-    # ---- micro-benchmarks (criterion-suite analogs) -----------------------
-    add_fn = jax.jit(lambda p, q: C.add(p, q))
-    pp = tuple(jnp_bcast(c) for c in C.to_projective(ba))
-    dt_add = _time_op(add_fn, (pp, pp), iters)
+    # ---- micro benches (criterion analogs) --------------------------------
+    one = jax.device_put(F.ints_to_array(
+        [F.FQ_SPEC.to_mont_int(1)] * B))
+
+    if on_accel:
+        def mm_step(a):
+            return MK.mulmod_spec(a, one, F.FQ_SPEC)
+        dt_mm = timing.chain_timer(mm_step, sa, 1, 501)
+    else:
+        fq = F.fq()
+        def mm_step(a):
+            return fq.mul(a, one)
+        dt_mm = timing.chain_timer(mm_step, sa, 1, 21)
+    mulmods_per_s = B / dt_mm
+
+    def add_step(p):
+        return C.add(p, p)
+    proj = tuple(map(jax.device_put, C.to_projective((bx, by))))
+    dt_add = timing.chain_timer(add_step, proj, 1, 101 if on_accel else 11)
+    adds_per_s = B / dt_add
+
+    st = jax.device_put((np.asarray(sa)[:, :5 * (B // 5) or 5]
+                         .reshape(16, 5, -1)).copy()) if B >= 5 else None
+    hashes_per_s = None
+    if st is not None:
+        def pos_step(s):
+            h = P.hash_mont(s)
+            return s.at[:, 0].set(h)
+        dt_pos = timing.chain_timer(pos_step, st, 1, 11 if on_accel else 3)
+        hashes_per_s = st.shape[2] / dt_pos
 
     per_chip = mults_per_s / ndev
-    baseline_per_chip = 10_000_000 / 8  # BASELINE.json north star on v5e-8
+    baseline_per_chip = 10_000_000 / 8  # BASELINE.json north star / v5e-8
     result = {
         "metric": "babyjubjub_scalar_mults_per_sec_per_chip",
         "value": round(per_chip, 1),
@@ -95,20 +130,17 @@ def main():
             "platform": platform,
             "n_devices": ndev,
             "batch": B,
-            "scalar_mults_per_sec_total": round(mults_per_s, 1),
-            "eddsa_verifies_per_sec_total": round(verifies_per_s, 1),
-            "eddsa_verifies_per_sec_per_chip": round(verifies_per_s / ndev, 1),
-            "verify_vs_baseline": round(
+            "scalar_mults_per_sec": round(mults_per_s, 1),
+            "eddsa_verifies_per_sec": round(verifies_per_s, 1),
+            "verify_vs_baseline_per_chip": round(
                 (verifies_per_s / ndev) / (1_000_000 / 8), 4),
-            "point_adds_per_sec": round(B / dt_add, 1),
+            "mont_mulmods_per_sec": round(mulmods_per_s, 1),
+            "point_adds_per_sec": round(adds_per_s, 1),
+            "poseidon_t6_hashes_per_sec":
+                round(hashes_per_s, 1) if hashes_per_s else None,
         },
     }
     print(json.dumps(result))
-
-
-def jnp_bcast(x):
-    import jax.numpy as jnp
-    return jnp.asarray(x)
 
 
 if __name__ == "__main__":
