@@ -109,7 +109,7 @@ def _points(pts, pad: int | None = None):
 def _nonces(keys: list, msgs: list) -> list:
     """Deterministic per-message nonce r (reference lib.rs:316-328)."""
     out = []
-    hs = [blake512.digest(k) for k in keys]
+    hs = [K.blake_hash(k) for k in keys]
     bufs = [h[32:64] + int(m).to_bytes(32, "little") for h, m in zip(hs, msgs)]
     for d in blake512.digest_batch(bufs):
         out.append(codec.bytes_le_to_int(d) % H.SUBORDER)

@@ -30,8 +30,16 @@ def new_key_bytes() -> bytes:
     return secrets.token_bytes(32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def blake_hash(key: bytes) -> bytes:
-    """64-byte BLAKE-512 of the raw key (reference `blh`, lib.rs:226-237)."""
+    """64-byte BLAKE-512 of the raw key (reference `blh`, lib.rs:226-237).
+
+    Cached: batch signing hashes the same key once regardless of how many
+    messages it signs (the reference recomputes it 3x per signature,
+    lib.rs:316, 330, 335)."""
     return blake512.digest(key)
 
 

@@ -27,8 +27,11 @@ def make_mesh(n_devices: int | None = None, data_axis: str = "data",
     devs = jax.devices()
     n = n_devices or len(devs)
     assert n <= len(devs), f"need {n} devices, have {len(devs)}"
+    auto = getattr(jax.sharding, "AxisType", None)
     if win == 1:
-        return jax.make_mesh((n,), (data_axis,), devices=devs[:n])
+        kw = {"axis_types": (auto.Auto,)} if auto else {}
+        return jax.make_mesh((n,), (data_axis,), devices=devs[:n], **kw)
     assert n % win == 0
+    kw = {"axis_types": (auto.Auto, auto.Auto)} if auto else {}
     return jax.make_mesh((n // win, win), (data_axis, win_axis),
-                         devices=devs[:n])
+                         devices=devs[:n], **kw)

@@ -72,9 +72,10 @@ def scalar_mul_sharded(mesh):
 def fixed_base_win_sharded(mesh, w: int = 4, nbits: int = 256):
     """Fixed-base comb with windows sharded over the "win" mesh axis.
 
-    Each device sums its contiguous window subset; the one-point partials
-    all_gather over "win" (ICI) and fold with log2(n_win) adds. Output is
-    replicated over "win", sharded over "data".
+    Each device sums its contiguous comb-window subset (the comb is a
+    plain group sum over windows, so window subsets are independent);
+    the per-shard partial points come back stacked over "win" and fold
+    with log2(win) point adds outside the shard_map.
     """
     nwin_total = nbits // w
     win_size = mesh.shape["win"]
@@ -85,42 +86,46 @@ def fixed_base_win_sharded(mesh, w: int = 4, nbits: int = 256):
         wi = jax.lax.axis_index("win")
         part = C.fixed_base_mul(scalars, w=w, nbits=nbits,
                                 win_offset=wi * local, nwin_local=local)
-        # gather one projective point per win-shard: (win, 16, B) coords
-        gx = jax.lax.all_gather(part[0], "win")
-        gy = jax.lax.all_gather(part[1], "win")
-        gz = jax.lax.all_gather(part[2], "win")
+        return tuple(c[None] for c in part)    # (1, 16, B) per win-shard
+
+    f = shard_map(
+        body, mesh,
+        in_specs=(P(None, "data"),),
+        out_specs=(P("win", None, "data"),) * 3,
+    )
+
+    def run(scalars):
+        gx, gy, gz = f(scalars)                # (win, 16, B) each
+        # replicate the win axis so the fold can slice it
+        repl = jax.sharding.NamedSharding(mesh, P(None, None, "data"))
+        gx, gy, gz = (jax.lax.with_sharding_constraint(g, repl)
+                      for g in (gx, gy, gz))
         acc = (gx[0], gy[0], gz[0])
         for k in range(1, win_size):
             acc = C.add(acc, (gx[k], gy[k], gz[k]))
         return C.to_affine(acc)
 
-    f = shard_map(
-        body, mesh,
-        in_specs=(P(None, "data"),),
-        out_specs=(P(None, "data"), P(None, "data")),
-    )
-    return jax.jit(f)
+    return jax.jit(run)
 
 
 def msm_sharded(mesh):
     """MSM with the batch sharded over "data": local windowed mul +
-    tree-reduce, then all_gather of per-device partials and a final fold.
-    Returns replicated projective coords (16, 1)."""
-    ndev = mesh.shape["data"]
+    tree-reduce per device; the one-point partials come back stacked
+    over "data" and fold with a final tree of point adds.
+    Returns projective coords (16, 1)."""
 
     def body(x, y, s):
         part = msm_mod.msm_core((x, y), s)     # (16, 1) coords local
-        gx = jax.lax.all_gather(part[0], "data")
-        gy = jax.lax.all_gather(part[1], "data")
-        gz = jax.lax.all_gather(part[2], "data")
-        acc = (gx[0], gy[0], gz[0])
-        for k in range(1, ndev):
-            acc = C.add(acc, (gx[k], gy[k], gz[k]))
-        return acc
+        return part
 
     f = shard_map(
         body, mesh,
         in_specs=(_LIMB_B, _LIMB_B, _LIMB_B),
-        out_specs=(P(), P(), P()),
+        out_specs=(_LIMB_B,) * 3,              # (16, ndev) stacked partials
     )
-    return jax.jit(f)
+
+    def run(x, y, s):
+        px, py, pz = f(x, y, s)
+        return msm_mod.tree_reduce_points((px, py, pz))
+
+    return jax.jit(run)

@@ -68,6 +68,45 @@ def modinv(a: int, q: int) -> int:
     return x
 
 
+def modsqrt_v2(a: int, q: int) -> int:
+    """Alternative Tonelli-Shanks (reference utils.rs:164-213 parity).
+
+    Kept, like the reference, as a cross-check implementation; tests
+    assert both variants agree.
+    """
+    a = a % q
+    if legendre_symbol(a, q) != 1 or a == 0 or q == 2:
+        raise ValueError("not a mod p square")
+    if q % 4 == 3:
+        return pow(a, (q + 1) // 4, q)
+    p = q - 1
+    s = 0
+    while p % 2 == 0:
+        s += 1
+        p >>= 1
+    z = 1
+    while legendre_symbol(z, q) != -1:
+        z += 1
+    c = pow(z, p, q)
+    x = pow(a, (p + 1) >> 1, q)
+    t = pow(a, p, q)
+    m = s
+    while t != 1:
+        i = 1
+        e = 2
+        while i < m:
+            if pow(t, e, q) == 1:
+                break
+            e *= 2
+            i += 1
+        b = pow(c, 1 << (m - i - 1), q)
+        x = (x * b) % q
+        t = (t * b * b) % q
+        c = (b * b) % q
+        m = i
+    return x
+
+
 def legendre_symbol(a: int, q: int) -> int:
     """1 if a is a QR mod q else -1 (reference utils.rs:215-223 semantics)."""
     ls = pow(a, (q - 1) >> 1, q)
