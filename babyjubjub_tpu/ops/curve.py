@@ -207,7 +207,16 @@ def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int = 4):
     Precomputes [0..2^w-1]P per lane (2^w - 2 adds + identity), then per
     window: w doublings + one table-select + one add. ~1.6x fewer field
     muls than the plain ladder at w=4.
+
+    On TPU, flat tile-aligned batches route through the fused 13-bit-limb
+    mega-ladder (pallas/fast13.py): the whole 256-bit ladder runs in one
+    kernel on a lazy-carry field core, ~1.6x faster again.
     """
+    x = aff[0]
+    if (w == 4 and nbits == 256 and x.ndim == 2 and scalars.shape == x.shape
+            and x.shape[1] % F._PALLAS_TILE == 0 and F._pallas_enabled()):
+        from .pallas import fast13 as FK13
+        return FK13.scalar_mul_fused13(x, aff[1], scalars)
     assert nbits % w == 0
     nwin = nbits // w
     tsize = 1 << w

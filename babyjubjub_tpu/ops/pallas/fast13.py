@@ -1,0 +1,467 @@
+"""13-bit-limb fast path: Montgomery field ops + fused scalar-mul ladder.
+
+Why 13-bit limbs beat the 16-bit path on the TPU VPU:
+
+  * Products of 13-bit limbs are < 2^26, so a uint32 column accumulates up
+    to ~37 product terms before overflow. The per-product split of the
+    16-bit path (mask + shift + second add: 5 VPU ops per product) becomes
+    2 ops (multiply + accumulate); splitting happens once per column at
+    the end.
+  * BN254 Fr has 2-adicity 28, i.e. p ≡ 1 (mod 2^26). In base 2^13 the
+    modulus limbs are p[0] = 1 and p[1] = 0, and the word-level Montgomery
+    constant is -p^{-1} ≡ -1 (mod 2^13). Each reduction round therefore
+    needs NO multiply for m (m = (-t_i) mod 2^13), the j = 0 term is m
+    itself, and the j = 1 term vanishes: 18 multiplies per round, not 20.
+  * Lazy representation: all intermediate values are kept < k*p for small
+    k (bounds below) with normalized 13-bit limbs; there are NO
+    conditional subtracts anywhere inside point formulas or the ladder —
+    one at the very end makes the result canonical.
+
+Montgomery radix here is R13 = 2^260 (20 limbs x 13 bits). Conversion
+from the framework-wide 16-bit Montgomery domain (R16 = 2^256) is a
+left-shift by 4 bits (x*R16 << 4 = x*R13, value < 16p: a valid lazy
+element); conversion back multiplies by the plain constant 2^256
+(mont13_mul(v*R13, 2^256) = v*2^256 = v*R16).
+
+Lazy-bound ledger for the bbjlp formulas (inputs < 2p, sub = a+(4p-b)):
+  mul/sq outputs   < ab/R13 + p      <= 1.7p   (worst product 56p^2)
+  add outputs      < 4.2p
+  sub outputs      < 9.3p  < 2^257   (still 20 normalized limbs < 2^260)
+  every mul input pair (a, b) observed satisfies ab < 57p^2 < p*R13,
+  keeping mul outputs < 2p -- the invariant is closed. Product columns
+  accumulate <= 20 (product phase) + 18 (reduction) terms of < 2^26 plus
+  round carries: < 38*2^26 + 2^19 < 2^31.3 -- exact in uint32.
+
+Reference parity: same group math as /root/reference/src/lib.rs:88-164
+(add-2008-bbjlp unified add, dbl-2008-bbjlp, windowed ladder replacing
+the LSB-first double-and-add); results are bit-identical after the
+canonical conversion at the exit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import field as F
+from ...utils import hostmath as H
+
+LB = 13
+N = 20
+MASK = (1 << LB) - 1
+
+_u32 = jnp.uint32
+_i32 = jnp.int32
+
+P = H.Q
+R13 = 1 << (LB * N)  # 2^260
+
+
+def int_to_limbs13(x: int) -> tuple:
+    assert 0 <= x < R13
+    return tuple((x >> (LB * k)) & MASK for k in range(N))
+
+
+P13 = int_to_limbs13(P)
+assert P13[0] == 1 and P13[1] == 0, "needs 2-adicity >= 26"
+assert (-pow(P, -1, 1 << LB)) % (1 << LB) == MASK  # ninv == -1 mod 2^13
+P13_4 = int_to_limbs13(4 * P)
+ONE_M13 = int_to_limbs13(R13 % P)
+A_M13 = int_to_limbs13((H.A_COEFF * R13) % P)
+D_M13 = int_to_limbs13((H.D_COEFF * R13) % P)
+TO_R16 = int_to_limbs13(1 << 256)  # plain 2^256: mont13-mul by it => mont16
+
+
+# ---------------------------------------------------------------------------
+# Emitters: operate on python lists of N (tile,)-shaped u32 vectors
+# ---------------------------------------------------------------------------
+
+def emit_mul13(a, b):
+    """Lazy Montgomery mul: inputs 13-bit-normalized limbs, values < ~10p;
+    output < 2p, 13-bit-normalized. ~780 product + ~820 reduce VPU ops."""
+    t = [None] * (2 * N)
+    for i in range(N):
+        for j in range(N):
+            p = a[i] * b[j]
+            k = i + j
+            t[k] = p if t[k] is None else t[k] + p
+    return _emit_reduce13(t)
+
+
+def emit_sq13(a):
+    """Squaring: 210 products (diagonal + doubled off-diagonal)."""
+    t = [None] * (2 * N)
+    u = [None] * (2 * N)
+    for i in range(N):
+        p = a[i] * a[i]
+        t[2 * i] = p if t[2 * i] is None else t[2 * i] + p
+        for j in range(i + 1, N):
+            p = a[i] * a[j]
+            k = i + j
+            u[k] = p if u[k] is None else u[k] + p
+    out = []
+    for k in range(2 * N):
+        if u[k] is None:
+            out.append(t[k])
+        elif t[k] is None:
+            out.append(u[k] + u[k])
+        else:
+            out.append(t[k] + (u[k] + u[k]))
+    return _emit_reduce13(out)
+
+
+def _emit_reduce13(t):
+    """Montgomery reduction of 2N lazily-accumulated columns (< 2^31.3).
+
+    Exploits p[0] == 1, p[1] == 0, ninv == -1: per round, m = (-t_i) mod
+    2^13 with no multiply, and only limbs 2..N-1 of p contribute products.
+    """
+    t = list(t)
+    zero = None
+    for i in range(N):
+        ti = t[i]
+        if ti is None:
+            ti = zero
+        if ti is None:
+            continue  # t[i] identically zero: m == 0, nothing to add
+        if zero is None:
+            zero = ti * 0
+        m = (zero - ti) & MASK
+        c = (ti + m) >> LB
+        t[i + 1] = c if t[i + 1] is None else t[i + 1] + c
+        for j in range(2, N):
+            p = m * _u32(P13[j])
+            k = i + j
+            t[k] = p if t[k] is None else t[k] + p
+    res = t[N:]
+    res = [zero if v is None else v for v in res]
+    return emit_carry13(res)
+
+
+def emit_carry13(cols):
+    """Normalize N u32 columns to 13-bit limbs (value must fit 2^260)."""
+    out = []
+    c = None
+    for k in range(N):
+        v = cols[k] if c is None else cols[k] + c
+        out.append(v & MASK)
+        c = v >> LB
+    return out
+
+
+def emit_add13(a, b):
+    return emit_carry13([x + y for x, y in zip(a, b)])
+
+
+def emit_sub13(a, b):
+    """a - b mod p via a + (4p - b); requires value(b) < 4p."""
+    out = []
+    c = None
+    for k in range(N):
+        v = a[k].astype(_i32) + _i32(P13_4[k]) - b[k].astype(_i32)
+        if c is not None:
+            v = v + c
+        out.append((v & MASK).astype(_u32))
+        c = v >> LB  # arithmetic shift: handles negative partials
+    return out
+
+
+def emit_mul_const13(c_limbs, b):
+    c = [jnp.full_like(b[0], int(v)) for v in c_limbs]
+    return emit_mul13(c, b)
+
+
+# Fold/Barrett constants for the small-constant multiply
+K260 = ONE_M13                          # 2^260 mod p
+K273 = int_to_limbs13((1 << 273) % P)   # 2^273 mod p
+MU270 = (1 << 270) // P                 # Barrett mu, 17 bits
+assert MU270 < (1 << 18)
+
+
+def emit_mul_small13(c: int, x):
+    """(c * x) mod-p-lazy for a SMALL plain-domain constant c < 2^26.
+
+    A plain-integer multiply keeps the Montgomery domain (c * x*R = (cx)*R),
+    so the curve coefficients a = 168700, d = 168696 (reference lib.rs:28-45)
+    cost ~490 VPU ops here instead of a full ~1680-op Montgomery multiply.
+    Input x: 13-bit-normalized limbs, value < 2^258. Output < 3p.
+
+    Reduction: two constant folds of limbs 20/21 (2^260, 2^273 mod p), then
+    a Barrett quotient estimate q^ = (floor(d/2^247) * floor(2^270/p)) >> 23
+    with q - 2 <= q^ <= q, landing the result in [0, 3p).
+    """
+    assert 0 < c < (1 << 2 * LB)
+    c0, c1 = c & MASK, c >> LB
+    t = []
+    for k in range(N + 2):
+        v = None
+        if k < N:
+            v = _u32(c0) * x[k]
+        if c1 and 0 <= k - 1 < N:
+            w = _u32(c1) * x[k - 1]
+            v = w if v is None else v + w
+        t.append(v if v is not None else jnp.zeros_like(x[0]))
+    # normalize 22 columns (value < 2^26 * 2^258 = 2^284 < 2^286)
+    t = _carry_n(t, N + 2)
+    # fold limbs 20, 21: value -> < 2^260 + 2*2^13*p < 2^268
+    d = [t[k] +
+         t[N] * _u32(K260[k]) +
+         t[N + 1] * _u32(K273[k]) for k in range(N)]
+    d = _carry_n(d, N + 1)
+    # fold limb 20 again (< 2^8): value -> < 2^260 + 2^8*p < 2^262
+    d = [d[k] + d[N] * _u32(K260[k]) for k in range(N)]
+    d = _carry_n(d, N + 1)
+    # Barrett: q^ = (hi * mu) >> 23 with hi = d >> 247; error <= 1
+    hi = (d[N] << LB) | d[19]
+    qh = (hi * _u32(MU270)) >> 23
+    out = []
+    borrow = None
+    for k in range(N):
+        v = d[k].astype(_i32) - (qh * _u32(P13[k])).astype(_i32)
+        if borrow is not None:
+            v = v + borrow
+        out.append((v & MASK).astype(_u32))
+        borrow = v >> LB
+    return out
+
+
+def _carry_n(cols, n):
+    """Normalize to n 13-bit limbs; columns beyond len(cols) are carry-only."""
+    out = []
+    c = None
+    for k in range(n):
+        if k < len(cols):
+            v = cols[k] if c is None else cols[k] + c
+        else:
+            v = c
+        out.append(v & MASK)
+        c = v >> LB
+    return out
+
+
+def emit_cond_sub13(a):
+    """One conditional subtract of p (canonicalizes values < 2p)."""
+    diff = []
+    borrow = None
+    for k in range(N):
+        d = a[k].astype(_i32) - _i32(P13[k])
+        if borrow is not None:
+            d = d - borrow
+        diff.append((d & MASK).astype(_u32))
+        borrow = (d >> LB) & 1
+    ge = borrow == 0
+    return [jnp.where(ge, dk, ak) for dk, ak in zip(diff, a)]
+
+
+# ---------------------------------------------------------------------------
+# 16-bit <-> 13-bit repacking (pure bit plumbing, value-preserving)
+# ---------------------------------------------------------------------------
+
+def emit_repack_16to13(l16):
+    """16 x 16-bit limb vectors -> 20 x 13-bit limb vectors (same value)."""
+    out = []
+    for j in range(N):
+        bit = LB * j
+        a, s = bit >> 4, bit & 15
+        v = l16[a] >> s
+        if s > 3 and a + 1 < 16:
+            v = v | (l16[a + 1] << (16 - s))
+        out.append(v & MASK)
+    return out
+
+
+def emit_repack_13to16(l13):
+    """20 x 13-bit limbs (canonical) -> 16 x 16-bit limbs (same value)."""
+    out = []
+    for a in range(16):
+        bit = 16 * a
+        j, s = bit // LB, bit % LB
+        v = l13[j] >> s
+        have = LB - s
+        if j + 1 < N:
+            v = v | (l13[j + 1] << have)
+            have += LB
+        if have < 16 and j + 2 < N:
+            v = v | (l13[j + 2] << have)
+        out.append(v & jnp.uint32(0xFFFF))
+    return out
+
+
+def emit_shl4_13(l13):
+    """Value << 4 on 13-bit limbs (input < 2^256). mont16 -> mont13."""
+    out = []
+    for j in range(N):
+        v = l13[j] << 4
+        if j > 0:
+            v = v | (l13[j - 1] >> (LB - 4))
+        out.append(v & MASK)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Point formulas (projective twisted Edwards, lazy 13-limb Montgomery)
+# ---------------------------------------------------------------------------
+
+def emit_point_add13(p, q):
+    """Unified add-2008-bbjlp (reference lib.rs:88-131)."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    a = emit_mul13(z1, z2)
+    b = emit_sq13(a)
+    c = emit_mul13(x1, x2)
+    d = emit_mul13(y1, y2)
+    e = emit_mul13(emit_mul_small13(H.D_COEFF, c), d)
+    f = emit_sub13(b, e)
+    g = emit_add13(b, e)
+    aux = emit_sub13(emit_sub13(
+        emit_mul13(emit_add13(x1, y1), emit_add13(x2, y2)), c), d)
+    x3 = emit_mul13(emit_mul13(a, f), aux)
+    dac = emit_sub13(d, emit_mul_small13(H.A_COEFF, c))
+    y3 = emit_mul13(emit_mul13(a, g), dac)
+    z3 = emit_mul13(f, g)
+    return (x3, y3, z3)
+
+
+def emit_point_double13(p):
+    """dbl-2008-bbjlp: 3M + 4S + const-mul."""
+    x1, y1, z1 = p
+    b = emit_sq13(emit_add13(x1, y1))
+    c = emit_sq13(x1)
+    d = emit_sq13(y1)
+    e = emit_mul_small13(H.A_COEFF, c)
+    f = emit_add13(e, d)
+    h = emit_sq13(z1)
+    j = emit_sub13(f, emit_add13(h, h))
+    x3 = emit_mul13(emit_sub13(emit_sub13(b, c), d), j)
+    y3 = emit_mul13(f, emit_sub13(e, d))
+    z3 = emit_mul13(f, j)
+    return (x3, y3, z3)
+
+
+# ---------------------------------------------------------------------------
+# Mega-ladder: full windowed variable-base scalar mul in one kernel
+# ---------------------------------------------------------------------------
+
+W = 4
+TSIZE = 1 << W
+NWIN = 256 // W
+
+
+def _ladder13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
+    """x/y: (16, tile) mont16 affine; s: (16, tile) canonical scalars.
+    Outputs (16, tile) mont16 projective. tab: (TSIZE, 3, N, tile) VMEM."""
+    one = [jnp.full_like(x_ref[0, :], int(v)) for v in ONE_M13]
+    zero = [jnp.zeros_like(x_ref[0, :]) for _ in range(N)]
+
+    # entry repack: mont16 -> mont13 via 16->13 limbs then << 4
+    px = emit_shl4_13(emit_repack_16to13([x_ref[k, :] for k in range(16)]))
+    py = emit_shl4_13(emit_repack_16to13([y_ref[k, :] for k in range(16)]))
+
+    ident = (zero, one, one)
+    p1 = (px, py, one)
+
+    def write_entry(d, pt):
+        for c in range(3):
+            for k in range(N):
+                tab[d, c, k, :] = pt[c][k]
+
+    write_entry(0, ident)
+    write_entry(1, p1)
+    cur = p1
+    for d in range(2, TSIZE):
+        cur = emit_point_add13(cur, p1)
+        write_entry(d, cur)
+
+    def read_entry_onehot(digit):
+        acc = [[None] * N for _ in range(3)]
+        for d in range(TSIZE):
+            m = (digit == _u32(d)).astype(_u32)
+            for c in range(3):
+                for k in range(N):
+                    v = m * tab[d, c, k, :]
+                    acc[c][k] = v if acc[c][k] is None else acc[c][k] + v
+        return (acc[0], acc[1], acc[2])
+
+    def body(j, r):
+        rx, ry, rz = r
+        for _ in range(W):
+            rx, ry, rz = emit_point_double13((rx, ry, rz))
+        bitpos = (NWIN - 1 - j) * W
+        limb = s_ref[bitpos // 16, :]
+        digit = (limb >> _u32(bitpos % 16)) & _u32(TSIZE - 1)
+        t = read_entry_onehot(digit)
+        return emit_point_add13((rx, ry, rz), t)
+
+    r = jax.lax.fori_loop(0, NWIN, body, ident)
+
+    # exit: mont13 lazy (< 2p) -> mont16 canonical -> 16-bit limbs
+    to16 = [jnp.full_like(x_ref[0, :], int(v)) for v in TO_R16]
+    for ref, limbs in ((ox, r[0]), (oy, r[1]), (oz, r[2])):
+        m16 = emit_cond_sub13(emit_mul13(limbs, to16))
+        l16 = emit_repack_13to16(m16)
+        for k in range(16):
+            ref[k, :] = l16[k]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def scalar_mul_fused13(x, y, s, tile: int = 512):
+    """(16, B) mont16 affine points x canonical scalars -> mont16 projective.
+
+    Drop-in contract match for the 16-bit mega-ladder (ladder.py), ~1.6x
+    fewer VPU ops via the 13-bit lazy-carry field core.
+    """
+    bsize = x.shape[1]
+    bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
+    return pl.pallas_call(
+        _ladder13_kernel,
+        out_shape=(sh, sh, sh),
+        grid=(bsize // tile,),
+        in_specs=[bs, bs, bs],
+        out_specs=(bs, bs, bs),
+        scratch_shapes=[pltpu.VMEM((TSIZE, 3, N, tile), jnp.uint32)],
+    )(x, y, s)
+
+
+# ---------------------------------------------------------------------------
+# Standalone mulmod kernel (microbench / tests)
+# ---------------------------------------------------------------------------
+
+def _mulmod13_kernel(a_ref, b_ref, o_ref, *, square):
+    a = [a_ref[k, :] for k in range(N)]
+    b = a if square else [b_ref[k, :] for k in range(N)]
+    r = emit_sq13(a) if square else emit_mul13(a, b)
+    r = emit_cond_sub13(r)
+    for k in range(N):
+        o_ref[k, :] = r[k]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "square"))
+def mulmod13(a, b, tile: int = 512, square: bool = False):
+    """(20, B) canonical 13-bit mont13 limbs -> canonical product."""
+    bs = pl.BlockSpec((N, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mulmod13_kernel, square=square),
+        out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
+        grid=(a.shape[1] // tile,),
+        in_specs=[bs, bs],
+        out_specs=bs,
+    )(a, b)
+
+
+# host codecs for tests/bench ------------------------------------------------
+
+def ints_to_array13(xs) -> np.ndarray:
+    return np.stack(
+        [np.array(int_to_limbs13(x), dtype=np.uint32) for x in xs], axis=-1)
+
+
+def array13_to_ints(arr) -> list:
+    arr = np.asarray(arr, dtype=np.uint64).reshape(N, -1)
+    return [sum(int(arr[k, i]) << (LB * k) for k in range(N))
+            for i in range(arr.shape[1])]
