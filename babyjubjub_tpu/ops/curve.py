@@ -304,7 +304,15 @@ def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256,
     `win_offset`/`nwin_local` select a contiguous window subset so comb
     windows can shard across a mesh axis (partial sums combined by the
     caller with point adds — the comb is a plain group sum over windows).
+
+    On TPU, flat tile-aligned full-width calls route through the fused
+    13-bit-limb comb kernel (pallas/fast13.py).
     """
+    if (w == 4 and nbits == 256 and win_offset == 0 and nwin_local is None
+            and scalars.ndim == 2 and scalars.shape[1] % F._PALLAS_TILE == 0
+            and F._pallas_enabled()):
+        from .pallas import fast13 as FK13
+        return FK13.fixed_base_fused13(scalars, tuple(base))
     table = jnp.asarray(_comb_table(tuple(base), w, nbits))  # (nwin,tsize,2,16)
     nwin = nwin_local if nwin_local is not None else nbits // w
     tsize = 1 << w

@@ -428,6 +428,129 @@ def scalar_mul_fused13(x, y, s, tile: int = 512):
     )(x, y, s)
 
 
+def emit_point_madd13(p, xy2):
+    """Mixed unified add: q affine (z2 = 1), saves the Z1*Z2 multiply."""
+    x1, y1, z1 = p
+    x2, y2 = xy2
+    a = z1
+    b = emit_sq13(z1)
+    c = emit_mul13(x1, x2)
+    d = emit_mul13(y1, y2)
+    e = emit_mul13(emit_mul_small13(H.D_COEFF, c), d)
+    f = emit_sub13(b, e)
+    g = emit_add13(b, e)
+    aux = emit_sub13(emit_sub13(
+        emit_mul13(emit_add13(x1, y1), emit_add13(x2, y2)), c), d)
+    x3 = emit_mul13(emit_mul13(a, f), aux)
+    dac = emit_sub13(d, emit_mul_small13(H.A_COEFF, c))
+    y3 = emit_mul13(emit_mul13(a, g), dac)
+    z3 = emit_mul13(f, g)
+    return (x3, y3, z3)
+
+
+# ---------------------------------------------------------------------------
+# Fused fixed-base comb: 64 table-selected mixed adds, no doublings
+# (reference hot loops lib.rs:305, 329, 405 — B8 multiplications)
+# ---------------------------------------------------------------------------
+
+_TROW = 64  # packed row: x limbs [0:20], y limbs [20:40], zero pad to 64
+
+
+@functools.lru_cache(maxsize=None)
+def _comb_table13(base: tuple, w: int = W, nbits: int = 256) -> np.ndarray:
+    """(nwin, 64, 2^w) u32: entry [j, :, d] = d * 2^(w*j) * base, mont13
+    affine limbs packed x|y on the SUBLANE axis (digit on lanes, so the
+    kernel's per-digit column extract is a natural lane index — no
+    lane->sublane relayout)."""
+    nwin = nbits // w
+    tsize = 1 << w
+    out = np.zeros((nwin, _TROW, tsize), dtype=np.uint32)
+    step = base
+    for j in range(nwin):
+        acc = H.IDENTITY
+        for d in range(tsize):
+            out[j, :N, d] = int_to_limbs13(acc[0] * R13 % P)
+            out[j, N:2 * N, d] = int_to_limbs13(acc[1] * R13 % P)
+            acc = H.point_add(acc, step)
+        for _ in range(w):
+            step = H.point_add(step, step)
+    return out
+
+
+def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
+    """Grid = (batch_tiles, NWIN): window j is a sequential grid step, so
+    the (64, TSIZE) table block for each window is pipeline-prefetched and
+    all in-kernel indexing is static. The running point lives in scratch
+    (3, N, tile) across window steps."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        for k in range(N):
+            racc[0, k, :] = jnp.zeros_like(racc[0, k, :])
+            racc[1, k, :] = jnp.full_like(racc[1, k, :], int(ONE_M13[k]))
+            racc[2, k, :] = jnp.full_like(racc[2, k, :], int(ONE_M13[k]))
+
+    limb = s_ref[(j * W) // 16, :]
+    digit = (limb >> ((j % 4) * W).astype(_u32)) & _u32(TSIZE - 1)
+    slab = tab_ref[0]  # (64, TSIZE), static
+    # Per-limb one-hot with SCALAR table extracts: every operand stays a
+    # natural (tile,) lane vector — slicing rows of a (64, tile) product
+    # instead costs a sublane relayout per limb (~5x whole-kernel hit).
+    masks = [(digit == _u32(d)).astype(_u32) for d in range(TSIZE)]
+    x2, y2 = [], []
+    for k in range(N):
+        ax = ay = None
+        for d in range(TSIZE):
+            vx = slab[k, d] * masks[d]
+            vy = slab[N + k, d] * masks[d]
+            ax = vx if ax is None else ax + vx
+            ay = vy if ay is None else ay + vy
+        x2.append(ax)
+        y2.append(ay)
+
+    r = tuple([racc[c, k, :] for k in range(N)] for c in range(3))
+    x3, y3, z3 = emit_point_madd13(r, (x2, y2))
+    for k in range(N):
+        racc[0, k, :] = x3[k]
+        racc[1, k, :] = y3[k]
+        racc[2, k, :] = z3[k]
+
+    @pl.when(j == NWIN - 1)
+    def _emit_out():
+        to16 = [jnp.full_like(x3[0], int(v)) for v in TO_R16]
+        for ref, limbs in ((ox, x3), (oy, y3), (oz, z3)):
+            m16 = emit_cond_sub13(emit_mul13(limbs, to16))
+            l16 = emit_repack_13to16(m16)
+            for k in range(16):
+                ref[k, :] = l16[k]
+
+
+@functools.partial(jax.jit, static_argnames=("base", "tile"))
+def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 512):
+    """(16, B) canonical scalars -> mont16 projective scalar*base.
+
+    The whole 64-window comb (one mixed add + one table select per
+    window, zero doublings) runs in one kernel; the constant table is
+    streamed block-per-window by the grid pipeline.
+    """
+    tab = jnp.asarray(_comb_table13(base))
+    bsize = s.shape[1]
+    bs = pl.BlockSpec((16, tile), lambda i, j: (0, i),
+                      memory_space=pltpu.VMEM)
+    ts = pl.BlockSpec((1, _TROW, TSIZE), lambda i, j: (j, 0, 0),
+                      memory_space=pltpu.VMEM)
+    sh = jax.ShapeDtypeStruct(s.shape, jnp.uint32)
+    return pl.pallas_call(
+        _comb13_kernel,
+        out_shape=(sh, sh, sh),
+        grid=(bsize // tile, NWIN),
+        in_specs=[ts, bs],
+        out_specs=(bs, bs, bs),
+        scratch_shapes=[pltpu.VMEM((3, N, tile), jnp.uint32)],
+    )(tab, s)
+
+
 # ---------------------------------------------------------------------------
 # Standalone mulmod kernel (microbench / tests)
 # ---------------------------------------------------------------------------
