@@ -552,6 +552,144 @@ def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 512):
 
 
 # ---------------------------------------------------------------------------
+# Fused Poseidon permutation (circomlib-compatible, any t)
+# ---------------------------------------------------------------------------
+
+def emit_ark13(s, c_scal):
+    """state element + per-round constant (scalars, canonical < p)."""
+    return emit_carry13([v + c for v, c in zip(s, c_scal)])
+
+
+def emit_x5_13(x):
+    x2 = emit_sq13(x)
+    return emit_mul13(emit_sq13(x2), x)
+
+
+def emit_mds_row13(mrow, svecs):
+    """sum_j mrow[j] * svecs[j], one Montgomery reduction total.
+
+    mrow[j]: 20 scalars (canonical Montgomery MDS entry); svecs[j]: 20
+    (tile,) vectors, values < 3p with 13-bit limbs. Products accumulate
+    in 2-operand parts: 40 products/column * (2^13-1)^2 = 2.7e9, plus the
+    reduction's <= 18 * 2^26 = 1.2e9, stays under 2^32 (9% margin).
+    Parts beyond the first are carry-normalized before summing.
+    """
+    t = len(svecs)
+    total = None
+    for lo in range(0, t, 2):
+        cols = [None] * (2 * N)
+        for j in range(lo, min(lo + 2, t)):
+            for a in range(N):
+                ma = mrow[j][a]
+                for b in range(N):
+                    k = a + b
+                    v = ma * svecs[j][b]
+                    cols[k] = v if cols[k] is None else cols[k] + v
+        zero = cols[0] * 0
+        cols = [zero if c is None else c for c in cols]
+        if total is None:
+            total = cols
+        else:
+            cn = _carry_n(cols, 2 * N)
+            total = [x + y for x, y in zip(total, cn)]
+    return _emit_reduce13(total)
+
+
+def _poseidon13_kernel(ark_ref, in_ref, o_ref, st, *, t, rf, rp, mds):
+    """Grid = (batch_tiles, rf + rp). State (t, N, tile) in scratch; ark
+    constants streamed (1, t, N) per round; MDS entries are immediates."""
+    j = pl.program_id(1)
+    nin = t - 1
+
+    @pl.when(j == 0)
+    def _init():
+        for k in range(N):
+            st[0, k, :] = jnp.zeros_like(st[0, k, :])
+        for i in range(nin):
+            l13 = emit_shl4_13(emit_repack_16to13(
+                [in_ref[k, i, :] for k in range(16)]))
+            for k in range(N):
+                st[i + 1, k, :] = l13[k]
+
+    arked = []
+    for i in range(t):
+        c_scal = [ark_ref[0, i, k] for k in range(N)]
+        arked.append(emit_ark13([st[i, k, :] for k in range(N)], c_scal))
+
+    mrows = [[[_u32(int(mds[i][jj][a])) for a in range(N)]
+              for jj in range(t)] for i in range(t)]
+
+    def mix_and_store(s):
+        for i in range(t):
+            out = emit_mds_row13(mrows[i], s)
+            for k in range(N):
+                st[i, k, :] = out[k]
+
+    is_full = jnp.logical_or(j < rf // 2, j >= rf // 2 + rp)
+
+    @pl.when(is_full)
+    def _full():
+        mix_and_store([emit_x5_13(x) for x in arked])
+
+    @pl.when(jnp.logical_not(is_full))
+    def _partial():
+        mix_and_store([emit_x5_13(arked[0])] + arked[1:])
+
+    @pl.when(j == rf + rp - 1)
+    def _out():
+        to16 = [jnp.full_like(st[0, 0, :], int(v)) for v in TO_R16]
+        m16 = emit_cond_sub13(emit_mul13([st[0, k, :] for k in range(N)],
+                                         to16))
+        l16 = emit_repack_13to16(m16)
+        for k in range(16):
+            o_ref[k, :] = l16[k]
+
+
+@functools.lru_cache(maxsize=None)
+def _poseidon13_consts(t: int):
+    from .. import grain
+    c, m = grain.poseidon_params(t)
+    rf = grain.N_ROUNDS_F
+    rp = grain.N_ROUNDS_P[t - 2]
+    ark = np.zeros((rf + rp, t, N), dtype=np.uint32)
+    for r in range(rf + rp):
+        for i in range(t):
+            ark[r, i] = int_to_limbs13(c[r * t + i] * R13 % P)
+    mds = tuple(tuple(int_to_limbs13(m[i][j] * R13 % P) for j in range(t))
+                for i in range(t))
+    return ark, mds, rf, rp
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def poseidon_fused13(inputs, tile: int = 512):
+    """(16, nin, B) mont16 inputs -> (16, B) mont16 Poseidon hash.
+
+    Whole permutation (rf + rp rounds) in one kernel: rounds ride the
+    grid, ark constants stream per round, the MDS mix runs as a lazy
+    limb-product dot with one Montgomery reduction per output element.
+    Parity: circomlib Poseidon (reference poseidon-rs dependency,
+    /root/reference/src/lib.rs:332-333)."""
+    nin, bsize = inputs.shape[1], inputs.shape[2]
+    t = nin + 1
+    ark, mds, rf, rp = _poseidon13_consts(t)
+    kern = functools.partial(_poseidon13_kernel, t=t, rf=rf, rp=rp, mds=mds)
+    ins = pl.BlockSpec((16, nin, tile), lambda i, j: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+    ab = pl.BlockSpec((1, t, N), lambda i, j: (j, 0, 0),
+                      memory_space=pltpu.VMEM)
+    ob = pl.BlockSpec((16, tile), lambda i, j: (0, i),
+                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((16, bsize), jnp.uint32),
+        grid=(bsize // tile, rf + rp),
+        in_specs=[ab, ins],
+        out_specs=ob,
+        scratch_shapes=[pltpu.VMEM((t, N, tile), jnp.uint32)],
+    )(jnp.asarray(ark), inputs)
+
+
+# ---------------------------------------------------------------------------
 # Standalone mulmod kernel (microbench / tests)
 # ---------------------------------------------------------------------------
 

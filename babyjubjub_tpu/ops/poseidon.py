@@ -124,6 +124,11 @@ def hash_mont(inputs: jnp.ndarray) -> jnp.ndarray:
     t = nin + 1
     if not 1 <= nin <= 16:
         raise ValueError("poseidon supports 1..16 inputs")
+    if (inputs.ndim == 3 and inputs.shape[2] % F._PALLAS_TILE == 0
+            and F._pallas_enabled()):
+        # fused 13-bit-limb kernel: whole permutation in one pallas call
+        from .pallas import fast13 as FK13
+        return FK13.poseidon_fused13(inputs)
     batch_shape = inputs.shape[2:]
     flat = inputs.reshape(F.NLIMB, nin, -1) if batch_shape else \
         inputs.reshape(F.NLIMB, nin, 1)

@@ -86,6 +86,27 @@ def test_repack_and_shift(rand_pairs):
     assert _dec13(FK.emit_shl4_13(l13)) == [x << 4 for x in xs]
 
 
+def test_x5_and_mds_row_13(rand_pairs):
+    import jax.numpy as jnp_
+    from babyjubjub_tpu.ops import grain
+    xs, _ = rand_pairs
+    ax = _enc13_mont(xs)
+    got = _dec13(FK.emit_x5_13(ax))
+    assert all(g % P == pow(x, 5, P) * FK.R13 % P for g, x in zip(got, xs))
+
+    # one t=6 MDS row against integer math (values < 3p lazy inputs)
+    _, m = grain.poseidon_params(6)
+    svals = [[secrets.randbelow(2 * P) for _ in range(B)] for _ in range(6)]
+    svecs = [_enc13(v) for v in svals]
+    mrow = [[jnp_.uint32(int(l)) for l in FK.int_to_limbs13(m[0][j] * FK.R13 % P)]
+            for j in range(6)]
+    got = _dec13(FK.emit_mds_row13(mrow, svecs))
+    rinv = pow(FK.R13, -1, P)
+    for i in range(B):
+        want = sum(m[0][j] * FK.R13 % P * svals[j][i] for j in range(6))
+        assert got[i] % P == want * rinv % P
+
+
 def test_point_ops_13():
     rinv = pow(FK.R13, -1, P)
     pts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER)) for _ in range(B)]
