@@ -39,8 +39,16 @@ fo = F.fo()
 
 def sign_core(r_s, sk_s, sk8_s, msg_s):
     """All inputs (16, B) canonical limbs. Returns (Rx_m, Ry_m, s_limbs)."""
-    rx, ry = C.to_affine(C.fixed_base_mul(r_s))
-    ax, ay = C.to_affine(C.fixed_base_mul(sk_s))
+    rp = C.fixed_base_mul(r_s)
+    ap = C.fixed_base_mul(sk_s)
+    # joint affine conversion: one Fermat inversion for both points
+    # (Montgomery trick; z == 0 cannot occur for B8 multiples since the
+    # unified Edwards addition law is complete for non-square d)
+    zzi = fq.inv(fq.mul(rp[2], ap[2]))
+    z1i = fq.mul(zzi, ap[2])
+    z2i = fq.mul(zzi, rp[2])
+    rx, ry = fq.mul(rp[0], z1i), fq.mul(rp[1], z1i)
+    ax, ay = fq.mul(ap[0], z2i), fq.mul(ap[1], z2i)
     msg_m = fq.to_mont(msg_s)
     hm_in = jnp.stack([rx, ry, ax, ay, msg_m], axis=1)  # (16, 5, B)
     hm = P.hash_mont(hm_in)

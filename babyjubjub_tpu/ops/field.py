@@ -540,7 +540,15 @@ class Fp:
         return r
 
     def inv(self, a: jnp.ndarray) -> jnp.ndarray:
-        """Fermat inverse a^(p-2), Montgomery domain. inv(0) = 0 (masked by callers)."""
+        """Fermat inverse a^(p-2), Montgomery domain. inv(0) = 0 (masked by callers).
+
+        Over FQ on TPU, tile-aligned flat batches route through the fused
+        13-bit-limb exponentiation kernel (constant-exponent windowing,
+        no selects; pallas/fast13.py)."""
+        if (self.spec.p == hostmath.Q and a.ndim == 2
+                and a.shape[1] % _PALLAS_TILE == 0 and _pallas_enabled()):
+            from .pallas import fast13 as FK13
+            return FK13.inv_fused13(a)
         return self._pow_const(a, self._inv_exp_bits)
 
     def pow(self, a: jnp.ndarray, e: int) -> jnp.ndarray:

@@ -352,6 +352,19 @@ TSIZE = 1 << W
 NWIN = 256 // W
 
 
+
+def _pick_tile(b: int, cap: int) -> int:
+    """Largest power-of-two tile <= cap dividing b (>= 512 when possible).
+
+    Bigger tiles fill vregs dramatically better (measured: the w=4 ladder
+    doubles going 512 -> 2048); caps are VMEM-bound per kernel (the
+    ladder's per-lane table is 16*3*20*tile*4B: 7.9 MB at 2048)."""
+    t = cap
+    while t > 512 and b % t:
+        t //= 2
+    return t
+
+
 def _ladder13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
     """x/y: (16, tile) mont16 affine; s: (16, tile) canonical scalars.
     Outputs (16, tile) mont16 projective. tab: (TSIZE, 3, N, tile) VMEM."""
@@ -409,13 +422,14 @@ def _ladder13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def scalar_mul_fused13(x, y, s, tile: int = 512):
+def scalar_mul_fused13(x, y, s, tile: int = 0):
     """(16, B) mont16 affine points x canonical scalars -> mont16 projective.
 
     Drop-in contract match for the 16-bit mega-ladder (ladder.py), ~1.6x
     fewer VPU ops via the 13-bit lazy-carry field core.
     """
     bsize = x.shape[1]
+    tile = tile or _pick_tile(bsize, 2048)
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
     return pl.pallas_call(
@@ -527,7 +541,7 @@ def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
 
 
 @functools.partial(jax.jit, static_argnames=("base", "tile"))
-def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 512):
+def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 0):
     """(16, B) canonical scalars -> mont16 projective scalar*base.
 
     The whole 64-window comb (one mixed add + one table select per
@@ -536,6 +550,7 @@ def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 512):
     """
     tab = jnp.asarray(_comb_table13(base))
     bsize = s.shape[1]
+    tile = tile or _pick_tile(bsize, 4096)
     bs = pl.BlockSpec((16, tile), lambda i, j: (0, i),
                       memory_space=pltpu.VMEM)
     ts = pl.BlockSpec((1, _TROW, TSIZE), lambda i, j: (j, 0, 0),
@@ -661,7 +676,7 @@ def _poseidon13_consts(t: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def poseidon_fused13(inputs, tile: int = 512):
+def poseidon_fused13(inputs, tile: int = 0):
     """(16, nin, B) mont16 inputs -> (16, B) mont16 Poseidon hash.
 
     Whole permutation (rf + rp rounds) in one kernel: rounds ride the
@@ -671,6 +686,7 @@ def poseidon_fused13(inputs, tile: int = 512):
     /root/reference/src/lib.rs:332-333)."""
     nin, bsize = inputs.shape[1], inputs.shape[2]
     t = nin + 1
+    tile = tile or _pick_tile(bsize, 4096)
     ark, mds, rf, rp = _poseidon13_consts(t)
     kern = functools.partial(_poseidon13_kernel, t=t, rf=rf, rp=rp, mds=mds)
     ins = pl.BlockSpec((16, nin, tile), lambda i, j: (0, 0, i),
@@ -687,6 +703,69 @@ def poseidon_fused13(inputs, tile: int = 512):
         out_specs=ob,
         scratch_shapes=[pltpu.VMEM((t, N, tile), jnp.uint32)],
     )(jnp.asarray(ark), inputs)
+
+
+# ---------------------------------------------------------------------------
+# Fused Fermat inversion: a^(p-2) in one kernel
+# ---------------------------------------------------------------------------
+
+def emit_inv13(a):
+    """Batched modular inverse via Fermat (inv(0) == 0, matching the
+    16-bit path's convention used by to_affine, reference lib.rs:70-76).
+
+    The exponent p-2 is a compile-time constant, so 4-bit windowing needs
+    NO table selects: each window multiplies by the statically-known
+    power. 252 squarings + ~75 multiplies, all VMEM-resident.
+    Input < ~3p lazy; output < 2p (0 maps to 0).
+    """
+    e = P - 2
+    w = 4
+    nwin = (e.bit_length() + w - 1) // w
+    digits = [(e >> (w * i)) & (2 ** w - 1) for i in range(nwin)]
+    # per-lane powers a^1..a^15 (14 muls)
+    pows = {1: a}
+    sq_a = emit_sq13(a)
+    pows[2] = sq_a
+    for d in range(3, 16):
+        pows[d] = emit_mul13(pows[d - 1], a)
+    acc = None
+    for i in range(nwin - 1, -1, -1):
+        if acc is not None:
+            for _ in range(w):
+                acc = emit_sq13(acc)
+        d = digits[i]
+        if d:
+            acc = pows[d] if acc is None else emit_mul13(acc, pows[d])
+    return acc
+
+
+def _inv13_kernel(x_ref, o_ref):
+    """(16, tile) mont16 -> (16, tile) mont16 canonical inverse.
+
+    Montgomery exponentiation is domain-stable (each mont-mul folds one
+    R^-1), so the windowed chain on mont13(x) yields mont13(x^(p-2)) =
+    mont13(1/x) directly; convert back with the plain 2^256 multiply.
+    """
+    x13 = emit_shl4_13(emit_repack_16to13([x_ref[k, :] for k in range(16)]))
+    r = emit_inv13(x13)
+    to16 = [jnp.full_like(x13[0], int(v)) for v in TO_R16]
+    l16 = emit_repack_13to16(emit_cond_sub13(emit_mul13(r, to16)))
+    for k in range(16):
+        o_ref[k, :] = l16[k]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def inv_fused13(x, tile: int = 0):
+    """Batched field inverse, (16, B) mont16 -> (16, B) mont16."""
+    tile = tile or _pick_tile(x.shape[1], 4096)
+    bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _inv13_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        grid=(x.shape[1] // tile,),
+        in_specs=[bs],
+        out_specs=bs,
+    )(x)
 
 
 # ---------------------------------------------------------------------------
