@@ -209,14 +209,15 @@ def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int = 4):
     muls than the plain ladder at w=4.
 
     On TPU, flat tile-aligned batches route through the fused 13-bit-limb
-    mega-ladder (pallas/fast13.py): the whole 256-bit ladder runs in one
-    kernel on a lazy-carry field core, ~1.6x faster again.
+    mega-ladder on the a=-1 twist (pallas/fast13.py): the whole 256-bit
+    ladder runs in one kernel on a lazy-carry field core with
+    extended-coordinate formulas (3M+4S doublings, 7M window adds).
     """
     x = aff[0]
     if (w == 4 and nbits == 256 and x.ndim == 2 and scalars.shape == x.shape
             and x.shape[1] % F._PALLAS_TILE == 0 and F._pallas_enabled()):
         from .pallas import fast13 as FK13
-        return FK13.scalar_mul_fused13(x, aff[1], scalars)
+        return FK13.scalar_mul_fused_tw13(x, aff[1], scalars)
     assert nbits % w == 0
     nwin = nbits // w
     tsize = 1 << w
@@ -308,7 +309,8 @@ def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256,
     On TPU, flat tile-aligned full-width calls route through the fused
     13-bit-limb comb kernel (pallas/fast13.py).
     """
-    if (w == 4 and nbits == 256 and win_offset == 0 and nwin_local is None
+    if (w == 4 and nbits == 256 and type(win_offset) is int
+            and win_offset == 0 and nwin_local is None
             and scalars.ndim == 2 and scalars.shape[1] % F._PALLAS_TILE == 0
             and F._pallas_enabled()):
         from .pallas import fast13 as FK13

@@ -472,10 +472,10 @@ _TROW = 64  # packed row: x limbs [0:20], y limbs [20:40], zero pad to 64
 
 @functools.lru_cache(maxsize=None)
 def _comb_table13(base: tuple, w: int = W, nbits: int = 256) -> np.ndarray:
-    """(nwin, 64, 2^w) u32: entry [j, :, d] = d * 2^(w*j) * base, mont13
-    affine limbs packed x|y on the SUBLANE axis (digit on lanes, so the
-    kernel's per-digit column extract is a natural lane index — no
-    lane->sublane relayout)."""
+    """(nwin, 64, 2^w) u32: entry [j, :, d] = d * 2^(w*j) * base on the
+    a=-1 twist in ed25519 precomputed-affine form: rows 0:20 u = y - s*x,
+    20:40 v = y + s*x, 40:60 k = 2d'*(s*x)*y, all mont13 canonical.
+    Digit rides the lane axis so per-digit extracts are scalar reads."""
     nwin = nbits // w
     tsize = 1 << w
     out = np.zeros((nwin, _TROW, tsize), dtype=np.uint32)
@@ -483,8 +483,11 @@ def _comb_table13(base: tuple, w: int = W, nbits: int = 256) -> np.ndarray:
     for j in range(nwin):
         acc = H.IDENTITY
         for d in range(tsize):
-            out[j, :N, d] = int_to_limbs13(acc[0] * R13 % P)
-            out[j, N:2 * N, d] = int_to_limbs13(acc[1] * R13 % P)
+            xt = acc[0] * _S_TWIST % P
+            out[j, :N, d] = int_to_limbs13((acc[1] - xt) % P * R13 % P)
+            out[j, N:2 * N, d] = int_to_limbs13((acc[1] + xt) % P * R13 % P)
+            out[j, 2 * N:3 * N, d] = int_to_limbs13(
+                2 * _D_TW * xt * acc[1] % P * R13 % P)
             acc = H.point_add(acc, step)
         for _ in range(w):
             step = H.point_add(step, step)
@@ -494,8 +497,9 @@ def _comb_table13(base: tuple, w: int = W, nbits: int = 256) -> np.ndarray:
 def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
     """Grid = (batch_tiles, NWIN): window j is a sequential grid step, so
     the (64, TSIZE) table block for each window is pipeline-prefetched and
-    all in-kernel indexing is static. The running point lives in scratch
-    (3, N, tile) across window steps."""
+    all in-kernel indexing is static. The running extended point (a=-1
+    twist) lives in scratch (4, N, tile) across window steps; madds
+    against affine (u, v, k) entries cost 7M + 1M for T."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -504,6 +508,7 @@ def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
             racc[0, k, :] = jnp.zeros_like(racc[0, k, :])
             racc[1, k, :] = jnp.full_like(racc[1, k, :], int(ONE_M13[k]))
             racc[2, k, :] = jnp.full_like(racc[2, k, :], int(ONE_M13[k]))
+            racc[3, k, :] = jnp.zeros_like(racc[3, k, :])
 
     limb = s_ref[(j * W) // 16, :]
     digit = (limb >> ((j % 4) * W).astype(_u32)) & _u32(TSIZE - 1)
@@ -512,28 +517,31 @@ def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
     # natural (tile,) lane vector — slicing rows of a (64, tile) product
     # instead costs a sublane relayout per limb (~5x whole-kernel hit).
     masks = [(digit == _u32(d)).astype(_u32) for d in range(TSIZE)]
-    x2, y2 = [], []
-    for k in range(N):
-        ax = ay = None
-        for d in range(TSIZE):
-            vx = slab[k, d] * masks[d]
-            vy = slab[N + k, d] * masks[d]
-            ax = vx if ax is None else ax + vx
-            ay = vy if ay is None else ay + vy
-        x2.append(ax)
-        y2.append(ay)
+    ent = []
+    for c in range(3):
+        comp = []
+        for k in range(N):
+            acc = None
+            for d in range(TSIZE):
+                v = slab[c * N + k, d] * masks[d]
+                acc = v if acc is None else acc + v
+            comp.append(acc)
+        ent.append(comp)
 
-    r = tuple([racc[c, k, :] for k in range(N)] for c in range(3))
-    x3, y3, z3 = emit_point_madd13(r, (x2, y2))
+    r = tuple([racc[c, k, :] for k in range(N)] for c in range(4))
+    x3, y3, z3, t3 = emit_addE13(r, (ent[0], ent[1], ent[2], None),
+                                 want_t=True)
     for k in range(N):
         racc[0, k, :] = x3[k]
         racc[1, k, :] = y3[k]
         racc[2, k, :] = z3[k]
+        racc[3, k, :] = t3[k]
 
     @pl.when(j == NWIN - 1)
     def _emit_out():
+        xout = emit_mul_const13(SINV_M13, x3)
         to16 = [jnp.full_like(x3[0], int(v)) for v in TO_R16]
-        for ref, limbs in ((ox, x3), (oy, y3), (oz, z3)):
+        for ref, limbs in ((ox, xout), (oy, y3), (oz, z3)):
             m16 = emit_cond_sub13(emit_mul13(limbs, to16))
             l16 = emit_repack_13to16(m16)
             for k in range(16):
@@ -562,7 +570,7 @@ def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 0):
         grid=(bsize // tile, NWIN),
         in_specs=[ts, bs],
         out_specs=(bs, bs, bs),
-        scratch_shapes=[pltpu.VMEM((3, N, tile), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((4, N, tile), jnp.uint32)],
     )(tab, s)
 
 
@@ -703,6 +711,181 @@ def poseidon_fused13(inputs, tile: int = 0):
         out_specs=ob,
         scratch_shapes=[pltpu.VMEM((t, N, tile), jnp.uint32)],
     )(jnp.asarray(ark), inputs)
+
+
+# ---------------------------------------------------------------------------
+# a = -1 twist: extended-coordinate fast path (ed25519-style formulas)
+#
+# legendre(-a) = 1, so s = sqrt(-168700) exists and (x, y) -> (s*x, y) is
+# an isomorphism onto the a' = -1 curve with d' = -d/a. legendre(d') = -1
+# (non-square), so the a=-1 unified extended addition is COMPLETE
+# (Hisil-Wong-Carter-Dawson 2008). Doublings cost 3M+4S with no
+# curve-constant multiply; additions against (u, v, k, z) table entries
+# cost 7M. Twist in/out is one constant multiply per scalar-mul.
+#
+# Lazy-bound ledger (inputs X,Y,Z,T < 2p):
+#   dbl: E < 9.2p, F < 9.05p -> E*F = 83p^2 < 85.3p^2 = p*R13 (the
+#   tightest product in the module); all other products < 46p^2.
+#   add: u,E2,F2 < 6p; v,H2,G2 < 4p; worst product 36p^2.
+# ---------------------------------------------------------------------------
+
+_S_TWIST = H.modsqrt((-H.A_COEFF) % P, P)
+_S_TWIST = min(_S_TWIST, P - _S_TWIST)
+_D_TW = (-H.D_COEFF * pow(H.A_COEFF, -1, P)) % P       # d' on the -1 curve
+S_M13 = int_to_limbs13(_S_TWIST * R13 % P)
+SINV_M13 = int_to_limbs13(pow(_S_TWIST, -1, P) * R13 % P)
+D2TW_M13 = int_to_limbs13(2 * _D_TW * R13 % P)
+P13_2 = int_to_limbs13(2 * P)
+P13_8 = int_to_limbs13(8 * P)
+
+
+def emit_cond_sub_const13(a, c_limbs):
+    """One conditional subtract of an arbitrary 20-limb constant."""
+    diff = []
+    borrow = None
+    for k in range(N):
+        d = a[k].astype(_i32) - _i32(c_limbs[k])
+        if borrow is not None:
+            d = d - borrow
+        diff.append((d & MASK).astype(_u32))
+        borrow = (d >> LB) & 1
+    ge = borrow == 0
+    return [jnp.where(ge, dk, ak) for dk, ak in zip(diff, a)]
+
+
+def emit_canon13(a):
+    """Reduce a value < 16p to < 2p (three conditional constant subtracts)."""
+    a = emit_cond_sub_const13(a, P13_8)
+    a = emit_cond_sub_const13(a, P13_4)
+    return emit_cond_sub_const13(a, P13_2)
+
+
+def emit_dblE13(p4, want_t: bool):
+    """dbl-2008-hwcd, a = -1: (X, Y, Z, _) -> (X, Y, Z, T?). 3M+4S (+1M)."""
+    x1, y1, z1, _ = p4
+    a_ = emit_sq13(x1)
+    b_ = emit_sq13(y1)
+    zz = emit_sq13(z1)
+    c_ = emit_add13(zz, zz)
+    e_ = emit_sub13(emit_sub13(emit_sq13(emit_add13(x1, y1)), a_), b_)
+    g_ = emit_sub13(b_, a_)
+    f_ = emit_sub13(g_, c_)
+    zero = [jnp.zeros_like(x1[0]) for _ in range(N)]
+    h_ = emit_sub13(zero, emit_add13(a_, b_))
+    x3 = emit_mul13(e_, f_)
+    y3 = emit_mul13(g_, h_)
+    z3 = emit_mul13(f_, g_)
+    t3 = emit_mul13(e_, h_) if want_t else None
+    return (x3, y3, z3, t3)
+
+
+def emit_addE13(p4, entry, want_t: bool):
+    """Unified a=-1 extended add against a table entry (u2, v2, k2, z2),
+    u2 = Y2-X2, v2 = Y2+X2, k2 = 2d'*T2. 7M (+1M with T3); complete."""
+    x1, y1, z1, t1 = p4
+    u2, v2, k2, z2 = entry
+    a_ = emit_mul13(emit_sub13(y1, x1), u2)
+    b_ = emit_mul13(emit_add13(y1, x1), v2)
+    c_ = emit_mul13(t1, k2)
+    if z2 is None:  # affine entry (z2 == 1): D2 = 2*Z1, no multiply
+        d_ = emit_add13(z1, z1)
+    else:
+        d_ = emit_mul13(z1, emit_add13(z2, z2))
+    e_ = emit_sub13(b_, a_)
+    h_ = emit_add13(b_, a_)
+    f_ = emit_sub13(d_, c_)
+    g_ = emit_add13(d_, c_)
+    x3 = emit_mul13(e_, f_)
+    y3 = emit_mul13(g_, h_)
+    z3 = emit_mul13(f_, g_)
+    t3 = emit_mul13(e_, h_) if want_t else None
+    return (x3, y3, z3, t3)
+
+
+def _entry_from_point13(p4):
+    """(X, Y, Z, T) -> table entry (u, v, k, z)."""
+    x, y, z, t = p4
+    return (emit_sub13(y, x), emit_add13(y, x),
+            emit_mul_const13(D2TW_M13, t), z)
+
+
+def _ladder_tw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
+    """Variable-base ladder on the a=-1 twist. tab: (TSIZE, 4, N, tile)."""
+    one = [jnp.full_like(x_ref[0, :], int(v)) for v in ONE_M13]
+    zero = [jnp.zeros_like(x_ref[0, :]) for _ in range(N)]
+
+    px = emit_canon13(emit_shl4_13(emit_repack_16to13(
+        [x_ref[k, :] for k in range(16)])))
+    py = emit_canon13(emit_shl4_13(emit_repack_16to13(
+        [y_ref[k, :] for k in range(16)])))
+    pxt = emit_mul_const13(S_M13, px)        # twisted x
+    t1 = emit_mul13(pxt, py)
+    p1 = (pxt, py, one, t1)
+
+    def write_entry(d, ent):
+        for c in range(4):
+            for k in range(N):
+                tab[d, c, k, :] = ent[c][k]
+
+    ident_ent = (one, one, zero, one)        # u=v=1, k=0, z=1 (identity)
+    write_entry(0, ident_ent)
+    e1 = _entry_from_point13(p1)
+    write_entry(1, e1)
+    cur = p1
+    for d in range(2, TSIZE):
+        cur = emit_addE13(cur, e1, want_t=True)
+        write_entry(d, _entry_from_point13(cur))
+
+    def read_entry_onehot(digit):
+        acc = [[None] * N for _ in range(4)]
+        for d in range(TSIZE):
+            m = (digit == _u32(d)).astype(_u32)
+            for c in range(4):
+                for k in range(N):
+                    v = m * tab[d, c, k, :]
+                    acc[c][k] = v if acc[c][k] is None else acc[c][k] + v
+        return tuple(acc)
+
+    def body(j, r):
+        rx, ry, rz = r
+        for _i in range(3):
+            rx, ry, rz, _t = emit_dblE13((rx, ry, rz, None), want_t=False)
+        rx, ry, rz, rt = emit_dblE13((rx, ry, rz, None), want_t=True)
+        bitpos = (NWIN - 1 - j) * W
+        limb = s_ref[bitpos // 16, :]
+        digit = (limb >> _u32(bitpos % 16)) & _u32(TSIZE - 1)
+        ent = read_entry_onehot(digit)
+        x3, y3, z3, _t = emit_addE13((rx, ry, rz, rt), ent, want_t=False)
+        return (x3, y3, z3)
+
+    r = jax.lax.fori_loop(0, NWIN, body, (zero, one, one))
+
+    # untwist x, convert to mont16 canonical
+    xout = emit_mul_const13(SINV_M13, r[0])
+    to16 = [jnp.full_like(x_ref[0, :], int(v)) for v in TO_R16]
+    for ref, limbs in ((ox, xout), (oy, r[1]), (oz, r[2])):
+        m16 = emit_cond_sub13(emit_mul13(limbs, to16))
+        l16 = emit_repack_13to16(m16)
+        for k in range(16):
+            ref[k, :] = l16[k]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def scalar_mul_fused_tw13(x, y, s, tile: int = 0):
+    """Variable-base scalar mul on the a=-1 twist (drop-in for
+    scalar_mul_fused13; ~10% fewer VPU ops)."""
+    bsize = x.shape[1]
+    tile = tile or _pick_tile(bsize, 1024)  # 4-component table: VMEM-bound
+    bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
+    return pl.pallas_call(
+        _ladder_tw13_kernel,
+        out_shape=(sh, sh, sh),
+        grid=(bsize // tile,),
+        in_specs=[bs, bs, bs],
+        out_specs=(bs, bs, bs),
+        scratch_shapes=[pltpu.VMEM((TSIZE, 4, N, tile), jnp.uint32)],
+    )(x, y, s)
 
 
 # ---------------------------------------------------------------------------

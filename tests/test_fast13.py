@@ -107,6 +107,47 @@ def test_x5_and_mds_row_13(rand_pairs):
         assert got[i] % P == want * rinv % P
 
 
+def test_twist_extended_ops_13():
+    """a=-1 twist formulas (ladder/comb fast path) vs host ground truth."""
+    rinv = pow(FK.R13, -1, P)
+    s_tw = FK._S_TWIST
+    pts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER)) for _ in range(B)]
+    qts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER)) for _ in range(B)]
+    one = [jnp.full((B,), int(v), jnp.uint32) for v in FK.ONE_M13]
+
+    def to_ext(ps):
+        xt = [p[0] * s_tw % P for p in ps]
+        y = [p[1] for p in ps]
+        t = [x * yy % P for x, yy in zip(xt, y)]
+        return (_enc13_mont(xt), _enc13_mont(y), one, _enc13_mont(t))
+
+    def untwist_affine(ext):
+        xi, yi, zi = (_dec13(ext[c]) for c in range(3))
+        out = []
+        sinv = pow(s_tw, -1, P)
+        for i in range(B):
+            z = zi[i] * rinv % P
+            zin = pow(z, P - 2, P)
+            out.append((xi[i] * rinv * zin * sinv % P,
+                        yi[i] * rinv * zin % P))
+        return out
+
+    pp, qq = to_ext(pts), to_ext(qts)
+    got = untwist_affine(FK.emit_dblE13(pp, want_t=True))
+    assert got == [H.point_add(p, p) for p in pts]
+    ent = FK._entry_from_point13(qq)
+    got = untwist_affine(FK.emit_addE13(pp, ent, want_t=True))
+    assert got == [H.point_add(p, q) for p, q in zip(pts, qts)]
+    # completeness: P + P and P + identity through the same unified add
+    got = untwist_affine(FK.emit_addE13(pp, FK._entry_from_point13(pp),
+                                        want_t=False))
+    assert got == [H.point_add(p, p) for p in pts]
+    zero = [jnp.zeros_like(one[0]) for _ in range(FK.N)]
+    ident_ent = (one, one, zero, one)
+    got = untwist_affine(FK.emit_addE13(pp, ident_ent, want_t=False))
+    assert got == pts
+
+
 def test_point_ops_13():
     rinv = pow(FK.R13, -1, P)
     pts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER)) for _ in range(B)]
