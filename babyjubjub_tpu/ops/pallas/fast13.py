@@ -618,6 +618,36 @@ def emit_mds_row13(mrow, svecs):
     return _emit_reduce13(total)
 
 
+@functools.lru_cache(maxsize=None)
+def _poseidon_mxu_w(t: int):
+    """int8 weight matrix for the MDS mix as MXU matmuls.
+
+    Limbs and MDS entries split 7+6 bits: s = u + 128*v, M = m0 + 128*m1,
+    all pieces in [0, 128) — unsigned int8 with NO offset corrections.
+    Two matmuls D0 = W@U, D1 = W@V with W = [W0-plane; W1-plane]
+    ((2*t*(2N-1), t*N)); column c of output element i regroups as
+      col(i,c) = D0[p0,i,c] + 128*(D0[p1,i,c] + D1[p0,i,c])
+                 + 2*D1[p1,i,c-1]<<13   (16384*Q2 pushed up one limb)
+    exact in uint32 (< 2^28.5 before the Montgomery reduce).
+    """
+    from .. import grain
+    _, m = grain.poseidon_params(t)
+    ncols = 2 * N - 1
+    w = np.zeros((2 * t * ncols, t * N), dtype=np.int8)
+    for plane in range(2):
+        for i in range(t):
+            for j in range(t):
+                limbs = int_to_limbs13(m[i][j] * R13 % P)
+                for a in range(N):
+                    e = (limbs[a] >> 7) if plane else (limbs[a] & 0x7F)
+                    if not e:
+                        continue
+                    for b in range(N):
+                        w[plane * t * ncols + i * ncols + a + b,
+                          j * N + b] = e
+    return w
+
+
 def _poseidon13_kernel(ark_ref, in_ref, o_ref, st, *, t, rf, rp, mds):
     """Grid = (batch_tiles, rf + rp). State (t, N, tile) in scratch; ark
     constants streamed (1, t, N) per round; MDS entries are immediates."""
@@ -668,6 +698,81 @@ def _poseidon13_kernel(ark_ref, in_ref, o_ref, st, *, t, rf, rp, mds):
             o_ref[k, :] = l16[k]
 
 
+def _poseidon13_mxu_kernel(ark_ref, w_ref, in_ref, o_ref, st, u8, v8, d0, d1,
+                           *, t, rf, rp):
+    """Poseidon round with the MDS mix on the MXU (see _poseidon_mxu_w).
+
+    Per round: ark + sbox on the VPU, limbs split 7+6 into int8 scratch
+    rows, two (2t(2N-1), tN)@(tN, tile) int8 matmuls, regroup + one
+    Montgomery reduction per output element. ~2x the all-VPU round."""
+    j = pl.program_id(1)
+    nin = t - 1
+    ncols = 2 * N - 1
+
+    @pl.when(j == 0)
+    def _init():
+        for k in range(N):
+            st[0, k, :] = jnp.zeros_like(st[0, k, :])
+        for i in range(nin):
+            l13 = emit_shl4_13(emit_repack_16to13(
+                [in_ref[k, i, :] for k in range(16)]))
+            for k in range(N):
+                st[i + 1, k, :] = l13[k]
+
+    arked = []
+    for i in range(t):
+        c_scal = [ark_ref[0, i, k] for k in range(N)]
+        arked.append(emit_ark13([st[i, k, :] for k in range(N)], c_scal))
+
+    is_full = jnp.logical_or(j < rf // 2, j >= rf // 2 + rp)
+
+    def store_uv(s):
+        for i in range(t):
+            for k in range(N):
+                u8[i * N + k, :] = (s[i][k] & 0x7F).astype(jnp.int8)
+                v8[i * N + k, :] = (s[i][k] >> 7).astype(jnp.int8)
+
+    @pl.when(is_full)
+    def _full():
+        store_uv([emit_x5_13(x) for x in arked])
+
+    @pl.when(jnp.logical_not(is_full))
+    def _partial():
+        store_uv([emit_x5_13(arked[0])] + arked[1:])
+
+    w = w_ref[...]
+    dn = (((1,), (0,)), ((), ()))
+    d0[...] = jax.lax.dot_general(w, u8[...], dn,
+                                  preferred_element_type=jnp.int32)
+    d1[...] = jax.lax.dot_general(w, v8[...], dn,
+                                  preferred_element_type=jnp.int32)
+
+    for i in range(t):
+        cols = [None] * (2 * N)
+        for c in range(ncols):
+            r0 = i * ncols + c
+            r1 = t * ncols + r0
+            q0 = d0[r0, :].astype(_u32)
+            qm = (d0[r1, :] + d1[r0, :]).astype(_u32)
+            q2 = d1[r1, :].astype(_u32)
+            v = q0 + (qm << 7)
+            cols[c] = v if cols[c] is None else cols[c] + v
+            w2 = q2 << 1
+            cols[c + 1] = w2 if cols[c + 1] is None else cols[c + 1] + w2
+        out = _emit_reduce13(cols)
+        for k in range(N):
+            st[i, k, :] = out[k]
+
+    @pl.when(j == rf + rp - 1)
+    def _out():
+        to16 = [jnp.full_like(st[0, 0, :], int(v)) for v in TO_R16]
+        m16 = emit_cond_sub13(emit_mul13([st[0, k, :] for k in range(N)],
+                                         to16))
+        l16 = emit_repack_13to16(m16)
+        for k in range(16):
+            o_ref[k, :] = l16[k]
+
+
 @functools.lru_cache(maxsize=None)
 def _poseidon13_consts(t: int):
     from .. import grain
@@ -683,32 +788,57 @@ def _poseidon13_consts(t: int):
     return ark, mds, rf, rp
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def poseidon_fused13(inputs, tile: int = 0):
+@functools.partial(jax.jit, static_argnames=("tile", "mode"))
+def poseidon_fused13(inputs, tile: int = 0, mode: str = "mxu"):
     """(16, nin, B) mont16 inputs -> (16, B) mont16 Poseidon hash.
 
     Whole permutation (rf + rp rounds) in one kernel: rounds ride the
-    grid, ark constants stream per round, the MDS mix runs as a lazy
-    limb-product dot with one Montgomery reduction per output element.
+    grid, ark constants stream per round. mode="mxu" (default) runs the
+    MDS mix as two unsigned-int8 MXU matmuls (7+6-bit limb/entry split,
+    no offset corrections); mode="vpu" uses the all-VPU lazy limb dot.
     Parity: circomlib Poseidon (reference poseidon-rs dependency,
     /root/reference/src/lib.rs:332-333)."""
     nin, bsize = inputs.shape[1], inputs.shape[2]
     t = nin + 1
-    tile = tile or _pick_tile(bsize, 4096)
     ark, mds, rf, rp = _poseidon13_consts(t)
+    ins_map = lambda i, j: (0, 0, i)
+    ab_map = lambda i, j: (j, 0, 0)
+    ob_map = lambda i, j: (0, i)
+    if mode == "mxu":
+        tile = tile or _pick_tile(bsize, 2048)  # i32 matmul scratch bound
+        w = _poseidon_mxu_w(t)
+        kern = functools.partial(_poseidon13_mxu_kernel, t=t, rf=rf, rp=rp)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((16, bsize), jnp.uint32),
+            grid=(bsize // tile, rf + rp),
+            in_specs=[
+                pl.BlockSpec((1, t, N), ab_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec(w.shape, lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, nin, tile), ins_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((16, tile), ob_map,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((t, N, tile), jnp.uint32),
+                pltpu.VMEM((t * N, tile), jnp.int8),
+                pltpu.VMEM((t * N, tile), jnp.int8),
+                pltpu.VMEM((w.shape[0], tile), jnp.int32),
+                pltpu.VMEM((w.shape[0], tile), jnp.int32),
+            ],
+        )(jnp.asarray(ark), jnp.asarray(w), inputs)
+    tile = tile or _pick_tile(bsize, 4096)
     kern = functools.partial(_poseidon13_kernel, t=t, rf=rf, rp=rp, mds=mds)
-    ins = pl.BlockSpec((16, nin, tile), lambda i, j: (0, 0, i),
-                       memory_space=pltpu.VMEM)
-    ab = pl.BlockSpec((1, t, N), lambda i, j: (j, 0, 0),
-                      memory_space=pltpu.VMEM)
-    ob = pl.BlockSpec((16, tile), lambda i, j: (0, i),
-                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((16, bsize), jnp.uint32),
         grid=(bsize // tile, rf + rp),
-        in_specs=[ab, ins],
-        out_specs=ob,
+        in_specs=[pl.BlockSpec((1, t, N), ab_map, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((16, nin, tile), ins_map,
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, tile), ob_map, memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((t, N, tile), jnp.uint32)],
     )(jnp.asarray(ark), inputs)
 

@@ -170,6 +170,9 @@ def main():
             "eddsa_verifies_per_sec": round(verifies_per_s, 1),
             "verify_vs_baseline_per_chip": round(
                 (verifies_per_s / ndev) / (1_000_000 / 8), 4),
+            # constant-time ladder: n=3 costs the same as a 254-bit n
+            # (criterion's mul_scalar_small analog)
+            "mul_scalar_small_per_sec": round(mults_per_s, 1),
             "eddsa_signs_per_sec": round(signs_per_s, 1),
             "point_compress_per_sec": round(compress_per_s, 1),
             "point_decompress_per_sec": round(decompress_per_s, 1),

@@ -40,7 +40,18 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     if len(jax.devices()) < args.devices or args.force_cpu:
+        # a backend (the axon TPU) may already be initialized by the
+        # container's sitecustomize: drop it BEFORE re-pinning the
+        # platform, else the update is silently ignored
+        jax.clear_caches()
+        try:
+            from jax.extend.backend import clear_backends
+            clear_backends()
+        except Exception:
+            pass
         jax.config.update("jax_platforms", "cpu")
+        from babyjubjub_tpu.ops import field as _F
+        _F._default_backend_is_accel.cache_clear()
     simulated = jax.devices()[0].platform == "cpu"
 
     import secrets
