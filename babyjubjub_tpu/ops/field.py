@@ -576,7 +576,14 @@ class Fp:
         whose bound is the static 2-adicity of p-1 (28 for BN254-Fr, so the
         general q = 1 mod 4 branch of the reference always applies).
         Returns (root, is_qr): root^2 == a when is_qr; root arbitrary else.
+
+        Over FQ on TPU, tile-aligned flat batches route through the fused
+        13-bit-limb kernel (pallas/fast13.py).
         """
+        if (self.spec.p == hostmath.Q and a.ndim == 2
+                and a.shape[1] % _PALLAS_TILE == 0 and _pallas_enabled()):
+            from .pallas import fast13 as FK13
+            return FK13.sqrt_fused13(a)
         m, qodd, g_limbs = self._sqrt_consts
         w = self._pow_const(a, self._exp_bits((qodd - 1) // 2))
         r = self.mul(w, a)

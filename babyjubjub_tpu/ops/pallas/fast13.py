@@ -1022,24 +1022,13 @@ def scalar_mul_fused_tw13(x, y, s, tile: int = 0):
 # Fused Fermat inversion: a^(p-2) in one kernel
 # ---------------------------------------------------------------------------
 
-def emit_inv13(a):
-    """Batched modular inverse via Fermat (inv(0) == 0, matching the
-    16-bit path's convention used by to_affine, reference lib.rs:70-76).
-
-    The exponent p-2 is a compile-time constant, so 4-bit windowing needs
-    NO table selects: each window multiplies by the statically-known
-    power. 252 squarings + ~75 multiplies, all VMEM-resident.
-    Input < ~3p lazy; output < 2p (0 maps to 0).
-    """
-    e = P - 2
-    w = 4
+def emit_pow_const13(a, e: int, w: int = 4):
+    """a^e for a COMPILE-TIME exponent: 4-bit windowing with no table
+    selects (each window multiplies by the statically-known power)."""
     nwin = (e.bit_length() + w - 1) // w
     digits = [(e >> (w * i)) & (2 ** w - 1) for i in range(nwin)]
-    # per-lane powers a^1..a^15 (14 muls)
-    pows = {1: a}
-    sq_a = emit_sq13(a)
-    pows[2] = sq_a
-    for d in range(3, 16):
+    pows = {1: a, 2: emit_sq13(a)}
+    for d in range(3, 1 << w):
         pows[d] = emit_mul13(pows[d - 1], a)
     acc = None
     for i in range(nwin - 1, -1, -1):
@@ -1050,6 +1039,67 @@ def emit_inv13(a):
         if d:
             acc = pows[d] if acc is None else emit_mul13(acc, pows[d])
     return acc
+
+
+def emit_inv13(a):
+    """Batched modular inverse via Fermat (inv(0) == 0, matching the
+    16-bit path's convention used by to_affine, reference lib.rs:70-76).
+    ~252 squarings + ~75 multiplies, all VMEM-resident.
+    Input < ~3p lazy; output < 2p (0 maps to 0)."""
+    return emit_pow_const13(a, P - 2)
+
+
+# Tonelli-Shanks constants (2-adicity m = 28 for BN254-Fr)
+_TS_M = 28
+_TS_QODD = (P - 1) >> _TS_M
+_z = 2
+while pow(_z, (P - 1) >> 1, P) != P - 1:
+    _z += 1
+TS_G13 = int_to_limbs13(pow(_z, _TS_QODD, P) * R13 % P)
+
+
+def emit_sqrt13(a):
+    """Masked fixed-bound Tonelli-Shanks square root, mont13 domain.
+
+    Same structure as Fp.sqrt (ops/field.py) / reference utils.rs:109-160
+    with the data-dependent loop bounded statically by the 2-adicity (28).
+    Input a: lazy < 4p; returns (root < 2p, is_qr bool). ~230 + 378
+    squarings + ~90 multiplies.
+    """
+    one = [jnp.full_like(a[0], int(v)) for v in ONE_M13]
+    w = emit_pow_const13(a, (_TS_QODD - 1) // 2)
+    r = emit_mul13(w, a)
+    t = emit_mul13(r, w)
+    c = [jnp.full_like(a[0], int(v)) for v in TS_G13]
+
+    def canon(x):
+        return emit_cond_sub13(x)
+
+    def eq_one(x):
+        xc = canon(x)
+        m = None
+        for k in range(N):
+            e = xc[k] == one[k]
+            m = e if m is None else (m & e)
+        return m
+
+    for i in range(_TS_M - 2, -1, -1):
+        d = t
+        for _ in range(i):
+            d = emit_sq13(d)
+        flip = ~eq_one(d)
+        rc = emit_mul13(r, c)
+        r = [jnp.where(flip, x, y) for x, y in zip(rc, r)]
+        c = emit_sq13(c)
+        tc = emit_mul13(t, c)
+        t = [jnp.where(flip, x, y) for x, y in zip(tc, t)]
+    r2 = canon(emit_sq13(r))
+    ac = canon(canon(a))  # a < 4p -> two conditional subtracts -> < p
+    is_qr = None
+    for k in range(N):
+        e = r2[k] == ac[k]
+        is_qr = e if is_qr is None else (is_qr & e)
+    return r, is_qr
 
 
 def _inv13_kernel(x_ref, o_ref):
@@ -1065,6 +1115,34 @@ def _inv13_kernel(x_ref, o_ref):
     l16 = emit_repack_13to16(emit_cond_sub13(emit_mul13(r, to16)))
     for k in range(16):
         o_ref[k, :] = l16[k]
+
+
+def _sqrt13_kernel(x_ref, o_ref, q_ref):
+    x13 = emit_shl4_13(emit_repack_16to13([x_ref[k, :] for k in range(16)]))
+    x13 = emit_canon13(x13)          # < 2p for the T-S exponent chain
+    r, is_qr = emit_sqrt13(x13)
+    to16 = [jnp.full_like(x13[0], int(v)) for v in TO_R16]
+    l16 = emit_repack_13to16(emit_cond_sub13(emit_mul13(r, to16)))
+    for k in range(16):
+        o_ref[k, :] = l16[k]
+    q_ref[0, :] = is_qr.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def sqrt_fused13(x, tile: int = 0):
+    """Batched Tonelli-Shanks sqrt, (16, B) mont16 -> (root, is_qr)."""
+    tile = tile or _pick_tile(x.shape[1], 4096)
+    bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    qs = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    root, qr = pl.pallas_call(
+        _sqrt13_kernel,
+        out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+                   jax.ShapeDtypeStruct((1, x.shape[1]), jnp.uint32)),
+        grid=(x.shape[1] // tile,),
+        in_specs=[bs],
+        out_specs=(bs, qs),
+    )(x)
+    return root, qr[0].astype(bool)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
