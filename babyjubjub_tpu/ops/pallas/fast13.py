@@ -72,8 +72,6 @@ assert P13[0] == 1 and P13[1] == 0, "needs 2-adicity >= 26"
 assert (-pow(P, -1, 1 << LB)) % (1 << LB) == MASK  # ninv == -1 mod 2^13
 P13_4 = int_to_limbs13(4 * P)
 ONE_M13 = int_to_limbs13(R13 % P)
-A_M13 = int_to_limbs13((H.A_COEFF * R13) % P)
-D_M13 = int_to_limbs13((H.D_COEFF * R13) % P)
 TO_R16 = int_to_limbs13(1 << 256)  # plain 2^256: mont13-mul by it => mont16
 
 
@@ -425,8 +423,9 @@ def _ladder13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
 def scalar_mul_fused13(x, y, s, tile: int = 0):
     """(16, B) mont16 affine points x canonical scalars -> mont16 projective.
 
-    Drop-in contract match for the 16-bit mega-ladder (ladder.py), ~1.6x
-    fewer VPU ops via the 13-bit lazy-carry field core.
+    Non-twist baseline ladder (bbjlp formulas on the original curve),
+    kept for ablation/cross-checking; production routing uses
+    scalar_mul_fused_tw13 (~10% fewer VPU ops via the a=-1 twist).
     """
     bsize = x.shape[1]
     tile = tile or _pick_tile(bsize, 2048)
@@ -440,26 +439,6 @@ def scalar_mul_fused13(x, y, s, tile: int = 0):
         out_specs=(bs, bs, bs),
         scratch_shapes=[pltpu.VMEM((TSIZE, 3, N, tile), jnp.uint32)],
     )(x, y, s)
-
-
-def emit_point_madd13(p, xy2):
-    """Mixed unified add: q affine (z2 = 1), saves the Z1*Z2 multiply."""
-    x1, y1, z1 = p
-    x2, y2 = xy2
-    a = z1
-    b = emit_sq13(z1)
-    c = emit_mul13(x1, x2)
-    d = emit_mul13(y1, y2)
-    e = emit_mul13(emit_mul_small13(H.D_COEFF, c), d)
-    f = emit_sub13(b, e)
-    g = emit_add13(b, e)
-    aux = emit_sub13(emit_sub13(
-        emit_mul13(emit_add13(x1, y1), emit_add13(x2, y2)), c), d)
-    x3 = emit_mul13(emit_mul13(a, f), aux)
-    dac = emit_sub13(d, emit_mul_small13(H.A_COEFF, c))
-    y3 = emit_mul13(emit_mul13(a, g), dac)
-    z3 = emit_mul13(f, g)
-    return (x3, y3, z3)
 
 
 # ---------------------------------------------------------------------------
