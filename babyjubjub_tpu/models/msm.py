@@ -1,10 +1,21 @@
 """Multi-scalar multiplication: sum_i n_i * P_i over a point/scalar batch.
 
 The reference has no MSM (every op is one point at a time); this is the
-batch workload BASELINE.json's north star measures. v1 strategy: batched
-windowed scalar-mul over all lanes, then a log2(B) binary tree of batched
-point adds. Window/bucket (Pippenger) refinements layer on top and shard
-across the mesh (babyjubjub_tpu/parallel).
+batch workload BASELINE.json's north star measures. Strategy: batched
+windowed scalar-mul over all lanes (the fused a=-1 twist ladder), then a
+log2(B) binary tree of batched point adds; sharded across the mesh via
+parallel/sharded.msm_sharded (all_gather of per-device partial sums).
+
+Why not Pippenger here (design note): classic bucket accumulation is a
+scatter-by-digit, which SIMD lanes can't do without either (a) 2^w
+masked tree-reductions per window — 64*16*B point adds, WORSE than the
+ladder's ~318B — or (b) per-window sort + segmented associative scan,
+whose ~2B combine point-adds per window net only ~1.8x at w=4 (~3.5x at
+w=8) while adding device sorts and gathers on the minor axis. The fused
+ladder already runs each lane at 1.25M+ scalar-muls/s/chip, so the
+batched-ladder MSM is within ~2-3x of a much more complex scan-based
+Pippenger; revisit if MSM-sum (rather than independent muls) becomes the
+dominant workload.
 """
 
 from __future__ import annotations
