@@ -61,6 +61,42 @@ class Point:
         return _H.is_on_curve((self.x, self.y))
 
 
+@dataclass(frozen=True)
+class PointProjective:
+    """Projective point over python ints (reference lib.rs:62-132).
+
+    Single-item convenience mirror of the reference's PointProjective;
+    the batch pipelines use projective limb-array tuples internally."""
+    x: int
+    y: int
+    z: int
+
+    def affine(self) -> "Point":
+        # z == 0 -> (0, 0), matching reference lib.rs:70-76
+        if self.z % _H.Q == 0:
+            return Point(0, 0)
+        zi = pow(self.z, _H.Q - 2, _H.Q)
+        return Point(self.x * zi % _H.Q, self.y * zi % _H.Q)
+
+    def add(self, q: "PointProjective") -> "PointProjective":
+        a, b = self.affine(), q.affine()
+        r = _H.point_add((a.x, a.y), (b.x, b.y))
+        return PointProjective(r[0], r[1], 1)
+
+
+def _point_projective(self) -> "PointProjective":
+    """Affine -> projective (reference lib.rs:141-147)."""
+    return PointProjective(self.x, self.y, 1)
+
+
+Point.projective = _point_projective
+
+
+def test_bit(b: bytes, i: int) -> bool:
+    """Bit i of a little-endian byte string (reference lib.rs:188-190)."""
+    return (b[i // 8] & (1 << (i % 8))) != 0
+
+
 def _mul_jit(ba, sa):
     from .ops import curve as C
     import jax
@@ -146,7 +182,7 @@ def verify_schnorr(pk: Point, m: int, r: Point, s: int) -> bool:
 
 __all__ = [
     "Q", "ORDER", "SUBORDER", "A", "D", "B8",
-    "Point", "Signature", "PrivateKey",
-    "decompress_point", "decompress_signature",
+    "Point", "PointProjective", "Signature", "PrivateKey",
+    "decompress_point", "decompress_signature", "test_bit",
     "new_key", "verify", "schnorr_hash", "verify_schnorr",
 ]

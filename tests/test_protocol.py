@@ -112,3 +112,30 @@ def test_batch_schnorr():
     ss = [s for _, s in sigs]
     assert schnorr.verify_schnorr_batch(pks, msgs, rs, ss) == [True] * 3
     assert schnorr.verify_schnorr_batch(pks, [m + 1 for m in msgs], rs, ss) == [False] * 3
+
+
+def test_point_projective_api():
+    """Reference PointProjective parity (lib.rs:62-147, tests 420-499)."""
+    P2 = bjj.Point(
+        17777552123799933955779906779655732241715742912184938656739573121738514868268,
+        2626589144620713026669568689430873010625803728049924121243784502389097019475)
+    Q2 = bjj.Point(
+        16540640123574156134436876038791482806971768689494387082833631921987005038935,
+        20819045374670962167435360035096875258406992893633759881276124905556507972311)
+    r = P2.projective().add(P2.projective()).affine()
+    assert (r.x, r.y) == (
+        6890855772600357754907169075114257697580319025794532037257385534741338397365,
+        4338620300185947561074059802482547481416142213883829469920100239455078257889)
+    r = P2.projective().add(Q2.projective()).affine()
+    assert (r.x, r.y) == (
+        7916061937171219682591368294088513039687205273691143098332585753343424131937,
+        14035240266687799601661095864649209771790948434046947201833777492504781204499)
+    # z == 0 -> (0, 0) quirk (lib.rs:70-76)
+    assert bjj.PointProjective(5, 7, 0).affine().equals(bjj.Point(0, 0))
+
+
+def test_test_bit():
+    # LSB-first bit indexing over LE bytes (reference lib.rs:188-190)
+    b = (0b10110001).to_bytes(1, "little") + b"\x01"
+    assert [bjj.test_bit(b, i) for i in range(9)] == [
+        True, False, False, False, True, True, False, True, True]
