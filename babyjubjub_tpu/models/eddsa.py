@@ -157,6 +157,45 @@ def sign_batch(keys: list, msgs: list) -> list:
     return list(zip(r_pts, s_ints))
 
 
+def verify_compressed_batch(pk_bytes: list, sig_bytes: list,
+                            msgs: list) -> list:
+    """Wire-format batch verify: 32-byte compressed pks + 64-byte
+    compressed signatures -> [bool], with decompression (batched device
+    Tonelli-Shanks) fused into the pipeline. Lanes with invalid
+    encodings or msg > Q are False; nothing raises — the wire-facing
+    analog of the reference's decompress-then-verify flow
+    (lib.rs:192-224, 260-268, 395-412)."""
+    import jax.numpy as jnp
+    from ..ops import codec_dev
+
+    n = len(pk_bytes)
+    pad = _pad_to(n)
+
+    def _split(rows32):
+        arr = np.frombuffer(b"".join(rows32), dtype=np.uint8).reshape(n, -1)
+        y, sg = codec.split_compressed_batch(arr)
+        if pad != n:
+            y = np.pad(y, ((0, 0), (0, pad - n)))
+            sg = np.pad(sg, (0, pad - n))
+        return jnp.asarray(y), jnp.asarray(sg)
+
+    pk_y, pk_sg = _split(pk_bytes)
+    r_y, r_sg = _split([s[:32] for s in sig_bytes])
+    s_ints = [codec.bytes_le_to_int(s[32:]) for s in sig_bytes]
+    ok_range = [m <= H.Q for m in msgs]
+    s_s = _limbs(s_ints, pad)
+    msg_s = _limbs([m % H.Q for m in msgs], pad)
+
+    @jax.jit
+    def core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s):
+        ax, ay, pk_ok = codec_dev.decompress(pk_y, pk_sg)
+        rx, ry, r_ok = codec_dev.decompress(r_y, r_sg)
+        return verify_core(rx, ry, ax, ay, s_s, msg_s) & pk_ok & r_ok
+
+    ok = np.asarray(core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s))[:n]
+    return [bool(a and b) for a, b in zip(ok, ok_range)]
+
+
 def verify_batch(pks: list, sigs: list, msgs: list) -> list:
     """Batch EdDSA-Poseidon verify -> [bool]. msg > Q lanes are False
     (reference lib.rs:396-398)."""

@@ -139,3 +139,23 @@ def test_test_bit():
     b = (0b10110001).to_bytes(1, "little") + b"\x01"
     assert [bjj.test_bit(b, i) for i in range(9)] == [
         True, False, False, False, True, True, False, True, True]
+
+
+def test_verify_compressed_batch():
+    """Wire-format pipeline: bytes in -> bool out, invalid lanes isolated."""
+    import secrets
+    ks = [keys.new_key_bytes() for _ in range(3)]
+    msgs = [secrets.randbelow(H.Q) for _ in range(3)]
+    pks = eddsa.public_batch(ks)
+    sigs = eddsa.sign_batch(ks, msgs)
+    pk_b = [bjj.Point(*p).compress() for p in pks]
+    sig_b = [bjj.Signature(bjj.Point(*r), s).compress() for (r, s) in sigs]
+    assert eddsa.verify_compressed_batch(pk_b, sig_b, msgs) == [True] * 3
+    bad = bytearray(sig_b[1])
+    bad[5] ^= 0x01
+    assert eddsa.verify_compressed_batch(pk_b, [sig_b[0], bytes(bad),
+                                                sig_b[2]], msgs) == \
+        [True, False, True]
+    bad_pk = (H.Q).to_bytes(32, "little")  # y >= Q: invalid encoding
+    assert eddsa.verify_compressed_batch([bad_pk, pk_b[1], pk_b[2]], sig_b,
+                                         msgs) == [False, True, True]
