@@ -58,3 +58,16 @@ def test_schnorr_hash_msg_above_q():
 def test_decompress_y_out_of_field():
     with pytest.raises(ValueError):
         bjj.decompress_point((H.Q).to_bytes(32, "little"))
+
+
+def test_sign_deterministic():
+    """Determinism (SURVEY 5.2): same key+msg -> bit-identical signature
+    bytes across invocations (nonce is derived, not random —
+    lib.rs:316-328)."""
+    sk = bjj.PrivateKey(KEY)
+    a = sk.sign(424242).compress()
+    b = sk.sign(424242).compress()
+    assert a == b
+    # batch and single-item paths agree bit-exactly too
+    (r, s), = eddsa.sign_batch([KEY], [424242])
+    assert bjj.Signature(bjj.Point(*r), s).compress() == a
