@@ -79,9 +79,21 @@ class PointProjective:
         return Point(self.x * zi % _H.Q, self.y * zi % _H.Q)
 
     def add(self, q: "PointProjective") -> "PointProjective":
-        a, b = self.affine(), q.affine()
-        r = _H.point_add((a.x, a.y), (b.x, b.y))
-        return PointProjective(r[0], r[1], 1)
+        """Direct projective unified addition, add-2008-bbjlp — the same
+        formula as reference lib.rs:88-131, so degenerate z == 0 operands
+        flow through the algebra identically (no affine round-trip)."""
+        p = _H.Q
+        a = self.z * q.z % p
+        b = a * a % p
+        c = self.x * q.x % p
+        d = self.y * q.y % p
+        e = _H.D_COEFF * c * d % p
+        f = (b - e) % p
+        g = (b + e) % p
+        x3 = a * f * ((self.x + self.y) * (q.x + q.y) - c - d) % p
+        y3 = a * g * (d - _H.A_COEFF * c) % p
+        z3 = f * g % p
+        return PointProjective(x3, y3, z3)
 
 
 def _point_projective(self) -> "PointProjective":

@@ -1,24 +1,44 @@
 """Multi-scalar multiplication: sum_i n_i * P_i over a point/scalar batch.
 
 The reference has no MSM (every op is one point at a time); this is the
-batch workload BASELINE.json's north star measures. Strategy: batched
-windowed scalar-mul over all lanes (the fused a=-1 twist ladder), then a
-log2(B) binary tree of batched point adds; sharded across the mesh via
-parallel/sharded.msm_sharded (all_gather of per-device partial sums).
+batch workload BASELINE.json's north star measures. Two engines:
 
-Why not Pippenger here (design note): classic bucket accumulation is a
-scatter-by-digit, which SIMD lanes can't do without either (a) 2^w
-masked tree-reductions per window — 64*16*B point adds, WORSE than the
-ladder's ~318B — or (b) per-window sort + segmented associative scan,
-whose ~2B combine point-adds per window net only ~1.8x at w=4 (~3.5x at
-w=8) while adding device sorts and gathers on the minor axis. The fused
-ladder already runs each lane at 1.25M+ scalar-muls/s/chip, so the
-batched-ladder MSM is within ~2-3x of a much more complex scan-based
-Pippenger; revisit if MSM-sum (rather than independent muls) becomes the
-dominant workload.
+* ``msm_pippenger_core`` (default for large batches): per-window bucket
+  accumulation, TPU-shaped. Classic Pippenger scatters points into
+  2^w buckets — a data-dependent scatter SIMD lanes can't do — so the
+  bucket sums are recovered with sort + prefix-scan algebra instead:
+
+    1. per window j: digit_i = bits [wj, wj+w) of scalar_i (device-side,
+       static per-window extraction from the 16-bit limbs);
+    2. argsort lanes by digit; gather points into digit order;
+    3. inclusive prefix scan of the sorted points under the COMPLETE
+       unified Edwards addition (jax.lax.associative_scan; widths >= the
+       pallas tile ride the fused point-add kernel, log-depth);
+    4. bucket b's sum = cum[e_b] - cum[e_{b-1}] where e_b = #digits <= b
+       (searchsorted on the sorted digit vector; empty buckets cancel to
+       the identity automatically, and group subtraction is a negate+add
+       — negation on twisted Edwards is just x -> -x);
+    5. sum_b b*S_b via the standard suffix-sum trick: reverse-scan the
+       buckets, then tree-reduce the suffix sums;
+    6. Horner-combine the window sums: R = 2^w R + W_j.
+
+  Work: ~2B scan adds + ~2*2^w bucket adds per window (vs the ladder's
+  ~320 VMEM ops per lane), at the cost of HBM round-trips per scan
+  level; measured crossover and the 2x+ win land at B >= ~16k.
+
+* ``msm_ladder_core`` (small batches / fallback): batched windowed
+  scalar-mul over all lanes (the fused signed-window ladder), then a
+  log2(B) tree of batched point adds.
+
+Both engines are exact (bit-identical to the host BigInt model) and
+sharded across the mesh via parallel/sharded.msm_sharded (per-device
+partials combined with point adds — the only collective is the gather
+of one point per device, riding ICI).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +47,10 @@ from ..ops import field as F, curve as C
 from ..utils import hostmath as H
 
 fq = F.fq()
+
+# Lane count at or above which the Pippenger engine beats the ladder
+# (measured on v5e: scan adds amortize once B spans many pallas tiles).
+PIPPENGER_MIN_B = 16384
 
 
 def tree_reduce_points(proj):
@@ -54,15 +78,90 @@ def tree_reduce_points(proj):
     return p  # coords (16, 1)
 
 
-def msm_core(aff, scalars):
-    """Device MSM: points (X, Y) (16, B) Montgomery affine, scalars (16, B)
-    canonical (< 2^256, pre-reduced mod ORDER host-side if larger).
+def _window_digits(scalars, w: int, nwin: int):
+    """(16, B) canonical 16-bit-limb scalars -> (nwin, B) u32 digits,
+    digit j = bits [w*j, w*j + w). Static extraction; a digit spans at
+    most two limbs."""
+    outs = []
+    for j in range(nwin):
+        lo = w * j
+        a, s = lo // 16, lo % 16
+        v = scalars[a] >> s
+        if s + w > 16 and a + 1 < 16:
+            v = v | (scalars[a + 1] << (16 - s))
+        outs.append(v & jnp.uint32((1 << w) - 1))
+    return jnp.stack(outs)
+
+
+def _neg_proj(p):
+    return (fq.neg(p[0]), p[1], p[2])
+
+
+def msm_pippenger_core(aff, scalars, w: int = 8):
+    """Device Pippenger MSM. aff: (X, Y) (16, B) Montgomery affine;
+    scalars (16, B) canonical < 2^254 (reduce mod ORDER host-side).
     Returns projective (16, 1) coords."""
+    x, y = aff
+    bsize = x.shape[-1]
+    nwin = -(-254 // w)
+    nb = 1 << w
+    digits = _window_digits(scalars, w, nwin)
+    one = fq.one_mont((bsize,))
+    ident1 = C.identity((1,))
+
+    def window_sum(dj):
+        perm = jnp.argsort(dj)
+        ds = jnp.take(dj, perm)
+        xs = jnp.take(x, perm, axis=1)
+        ys = jnp.take(y, perm, axis=1)
+        cum = jax.lax.associative_scan(C.add, (xs, ys, one), axis=1)
+        # cum_ext[:, k] = sum of the first k sorted points (k = 0 empty)
+        cum_ext = tuple(jnp.concatenate([i1, c], axis=1)
+                        for i1, c in zip(ident1, cum))
+        # e_b = #digits <= b; buckets b = 1 .. nb-1 (digit 0 contributes 0)
+        ends = jnp.searchsorted(ds, jnp.arange(nb, dtype=jnp.uint32),
+                                side="right")
+        top = tuple(jnp.take(c, ends[1:], axis=1) for c in cum_ext)
+        bot = tuple(jnp.take(c, ends[:-1], axis=1) for c in cum_ext)
+        buckets = C.add(top, _neg_proj(bot))      # S_b, coords (16, nb-1)
+        # sum_b b*S_b == sum_k (suffix sum T_k = S_k + ... + S_{nb-1})
+        rev = tuple(c[:, ::-1] for c in buckets)
+        suf = jax.lax.associative_scan(C.add, rev, axis=1)
+        return tree_reduce_points(suf)            # (16, 1)
+
+    _, wins = jax.lax.scan(lambda c, dj: (c, window_sum(dj)), None, digits)
+
+    # Horner over windows: R = 2^w * R + W_j, top window first. A
+    # fori_loop (not a python loop) keeps the graph at one body — the
+    # unrolled form inlines ~nwin*(w+1) point ops and compiles for ages.
+    def horner_body(i, r):
+        j = nwin - 2 - i
+        for _ in range(w):
+            r = C.double(r)
+        wj = tuple(jax.lax.dynamic_index_in_dim(c, j, axis=0, keepdims=False)
+                   for c in wins)
+        return C.add(r, wj)
+
+    r0 = tuple(c[-1] for c in wins)
+    return jax.lax.fori_loop(0, nwin - 1, horner_body, r0)
+
+
+def msm_ladder_core(aff, scalars):
+    """Ladder MSM: batched windowed scalar-mul + tree reduction."""
     prods = C.scalar_mul_windowed(aff, scalars)
     return tree_reduce_points(prods)
 
 
+def msm_core(aff, scalars):
+    """Engine selection by batch size (both exact)."""
+    if aff[0].shape[-1] >= PIPPENGER_MIN_B:
+        return msm_pippenger_core(aff, scalars)
+    return msm_ladder_core(aff, scalars)
+
+
 _msm_jit = jax.jit(lambda aff, s: msm_core(aff, s))
+_msm_pip_jit = jax.jit(functools.partial(msm_pippenger_core, w=8))
+_msm_lad_jit = jax.jit(msm_ladder_core)
 
 
 def msm(points: list, scalars: list) -> tuple:

@@ -201,23 +201,38 @@ def affine_eq_proj(p, s):
     return jnp.where(one_zero, alt, cross)
 
 
-def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int = 4):
+def _resolve_w(w):
+    """Window bits: explicit argument, else CONFIG.window (BJJ_WINDOW).
+    Must divide 16 so a window digit never straddles a 16-bit limb."""
+    if w is None:
+        from ..utils.config import CONFIG
+        w = CONFIG.window
+    assert w in (1, 2, 4, 8), f"window bits must be in (1, 2, 4, 8): {w}"
+    return w
+
+
+def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int | None = None):
     """Variable-base scalar mul with a w-bit window (MSB-first).
 
     Precomputes [0..2^w-1]P per lane (2^w - 2 adds + identity), then per
     window: w doublings + one table-select + one add. ~1.6x fewer field
-    muls than the plain ladder at w=4.
+    muls than the plain ladder at w=4. Default w comes from the config
+    (BJJ_WINDOW); only w=4 is eligible for the fused kernel route.
 
     On TPU, flat tile-aligned batches route through the fused 13-bit-limb
     mega-ladder on the a=-1 twist (pallas/fast13.py): the whole 256-bit
     ladder runs in one kernel on a lazy-carry field core with
-    extended-coordinate formulas (3M+4S doublings, 7M window adds).
+    extended-coordinate formulas (3M+4S doublings, 7M window adds) and
+    signed-window Booth digits (9-entry table). The signed recode needs
+    scalars < 2^255 — every in-repo caller reduces mod ORDER (< 2^254)
+    first, per this function's contract above.
     """
+    w = _resolve_w(w)
     x = aff[0]
     if (w == 4 and nbits == 256 and x.ndim == 2 and scalars.shape == x.shape
             and x.shape[1] % F._PALLAS_TILE == 0 and F._pallas_enabled()):
         from .pallas import fast13 as FK13
-        return FK13.scalar_mul_fused_tw13(x, aff[1], scalars)
+        return FK13.scalar_mul_fused_sw13(x, aff[1], scalars)
     assert nbits % w == 0
     nwin = nbits // w
     tsize = 1 << w
@@ -267,7 +282,8 @@ def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int = 4):
     return jax.lax.fori_loop(0, nwin, body, r0)
 
 
-def scalar_mul_windowed_affine(aff, scalars, nbits: int = 256, w: int = 4):
+def scalar_mul_windowed_affine(aff, scalars, nbits: int = 256,
+                               w: int | None = None):
     return to_affine(scalar_mul_windowed(aff, scalars, nbits, w))
 
 
@@ -297,7 +313,7 @@ def _comb_table(base: tuple, w: int = 4, nbits: int = 256) -> np.ndarray:
     return out
 
 
-def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256,
+def fixed_base_mul(scalars, base=H.B8, w: int | None = None, nbits: int = 256,
                    win_offset=0, nwin_local: int | None = None):
     """scalar * base for a fixed base point: 64 table-selected adds, no doubles.
 
@@ -309,6 +325,7 @@ def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256,
     On TPU, flat tile-aligned full-width calls route through the fused
     13-bit-limb comb kernel (pallas/fast13.py).
     """
+    w = _resolve_w(w)
     if (w == 4 and nbits == 256 and type(win_offset) is int
             and win_offset == 0 and nwin_local is None
             and scalars.ndim == 2 and scalars.shape[1] % F._PALLAS_TILE == 0
@@ -338,7 +355,8 @@ def fixed_base_mul(scalars, base=H.B8, w: int = 4, nbits: int = 256,
     return jax.lax.fori_loop(0, nwin, body, identity(bsh))
 
 
-def fixed_base_mul_affine(scalars, base=H.B8, w: int = 4, nbits: int = 256):
+def fixed_base_mul_affine(scalars, base=H.B8, w: int | None = None,
+                          nbits: int = 256):
     return to_affine(fixed_base_mul(scalars, base, w, nbits))
 
 

@@ -61,6 +61,17 @@ _i32 = jnp.int32
 P = H.Q
 R13 = 1 << (LB * N)  # 2^260
 
+# Trace-time switch: lower every pallas_call in this module through the
+# XLA interpret path (CPU-runnable) instead of Mosaic. CI plumbing tests
+# (tests/test_fast13_kernels.py) flip this to validate grids, BlockSpec
+# index maps, and scratch persistence without a TPU; the op-by-op
+# pltpu.force_tpu_interpret_mode is too slow for these ~50k-op kernels.
+INTERPRET = False
+
+
+def _pallas_call(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=INTERPRET, **kwargs)
+
 
 def int_to_limbs13(x: int) -> tuple:
     assert 0 <= x < R13
@@ -79,38 +90,106 @@ TO_R16 = int_to_limbs13(1 << 256)  # plain 2^256: mont13-mul by it => mont16
 # Emitters: operate on python lists of N (tile,)-shaped u32 vectors
 # ---------------------------------------------------------------------------
 
-def emit_mul13(a, b):
-    """Lazy Montgomery mul: inputs 13-bit-normalized limbs, values < ~10p;
-    output < 2p, 13-bit-normalized. ~780 product + ~820 reduce VPU ops."""
-    t = [None] * (2 * N)
-    for i in range(N):
-        for j in range(N):
+def _emit_prod_cols(a, b):
+    """Schoolbook column products: len(a)+len(b)-1 u32 columns."""
+    na, nb = len(a), len(b)
+    t = [None] * (na + nb - 1)
+    for i in range(na):
+        for j in range(nb):
             p = a[i] * b[j]
             k = i + j
             t[k] = p if t[k] is None else t[k] + p
-    return _emit_reduce13(t)
+    return t
 
 
-def emit_sq13(a):
-    """Squaring: 210 products (diagonal + doubled off-diagonal)."""
-    t = [None] * (2 * N)
-    u = [None] * (2 * N)
-    for i in range(N):
+def _emit_sq_cols(a):
+    """Schoolbook squaring columns (diagonal + doubled off-diagonal)."""
+    n = len(a)
+    t = [None] * (2 * n - 1)
+    u = [None] * (2 * n - 1)
+    for i in range(n):
         p = a[i] * a[i]
         t[2 * i] = p if t[2 * i] is None else t[2 * i] + p
-        for j in range(i + 1, N):
+        for j in range(i + 1, n):
             p = a[i] * a[j]
             k = i + j
             u[k] = p if u[k] is None else u[k] + p
     out = []
-    for k in range(2 * N):
+    for k in range(2 * n - 1):
         if u[k] is None:
             out.append(t[k])
         elif t[k] is None:
             out.append(u[k] + u[k])
         else:
             out.append(t[k] + (u[k] + u[k]))
-    return _emit_reduce13(out)
+    return out
+
+
+_KARA = 10  # Karatsuba split point (N = 20 -> two 10-limb halves)
+
+
+def _emit_kara_cols(a, b, sq: bool):
+    """Karatsuba column products for 20-limb operands: 300 multiplies
+    (square: 165) instead of 400 (210).
+
+    z0 = a0*b0, z2 = a1*b1, z1 = (a0+a1)*(b0+b1) - z0 - z2. Column-wise
+    z1[m] = sum(a0_i*b1_j + a1_i*b0_j) (polynomial identity): a sum of
+    <= 20 nonnegative products < 2^26, so the TRUE value fits positive
+    i32 (< 2^30.4). The zm columns can exceed i32 max (10 products of
+    (2^14-1)^2 ~ 2^31.3) and wrap negative under the i32 bitcast, but
+    two's-complement add/sub is exact mod 2^32 and the true result is
+    representable, so the subtraction still lands on the exact value.
+    Recombined columns equal the schoolbook columns (< 20*2^26), so the
+    _emit_reduce13 ledger (module docstring) is unchanged.
+    """
+    h = _KARA
+    a0, a1 = a[:h], a[h:]
+    if sq:
+        z0 = _emit_sq_cols(a0)
+        z2 = _emit_sq_cols(a1)
+        asum = [x + y for x, y in zip(a0, a1)]   # < 2^14, no carry needed
+        zm = _emit_sq_cols(asum)
+    else:
+        b0, b1 = b[:h], b[h:]
+        z0 = _emit_prod_cols(a0, b0)
+        z2 = _emit_prod_cols(a1, b1)
+        asum = [x + y for x, y in zip(a0, a1)]
+        bsum = [x + y for x, y in zip(b0, b1)]
+        zm = _emit_prod_cols(asum, bsum)
+    # z1 = zm - z0 - z2 (i32; column-wise nonnegative, see above)
+    z1 = [(m.astype(_i32) - z0[k].astype(_i32) - z2[k].astype(_i32))
+          for k, m in enumerate(zm)]
+    t = [None] * (2 * N)
+    for k, v in enumerate(z0):
+        t[k] = v
+    for k, v in enumerate(z1):
+        kk = k + h
+        t[kk] = v.astype(_u32) if t[kk] is None else t[kk] + v.astype(_u32)
+    for k, v in enumerate(z2):
+        kk = k + 2 * h
+        t[kk] = v if t[kk] is None else t[kk] + v
+    return t
+
+
+def emit_mul13(a, b):
+    """Lazy Montgomery mul: inputs 13-bit-normalized limbs, values < ~10p;
+    output < 2p, 13-bit-normalized. Karatsuba product phase (300 muls) +
+    word-serial reduction; ~600 product + ~820 reduce VPU ops."""
+    return _emit_reduce13(_emit_kara_cols(a, b, sq=False))
+
+
+def emit_sq13(a):
+    """Squaring: Karatsuba over the 165-product halves (was 210)."""
+    return _emit_reduce13(_emit_kara_cols(a, None, sq=True))
+
+
+def emit_mul13_schoolbook(a, b):
+    """Pre-Karatsuba multiplier (400 products), kept for ablation."""
+    return _emit_reduce13(_emit_prod_cols(a, b))
+
+
+def emit_sq13_schoolbook(a):
+    return _emit_reduce13(_emit_sq_cols(a))
 
 
 def _emit_reduce13(t):
@@ -431,7 +510,7 @@ def scalar_mul_fused13(x, y, s, tile: int = 0):
     tile = tile or _pick_tile(bsize, 2048)
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
-    return pl.pallas_call(
+    return _pallas_call(
         _ladder13_kernel,
         out_shape=(sh, sh, sh),
         grid=(bsize // tile,),
@@ -543,7 +622,7 @@ def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 0):
     ts = pl.BlockSpec((1, _TROW, TSIZE), lambda i, j: (j, 0, 0),
                       memory_space=pltpu.VMEM)
     sh = jax.ShapeDtypeStruct(s.shape, jnp.uint32)
-    return pl.pallas_call(
+    return _pallas_call(
         _comb13_kernel,
         out_shape=(sh, sh, sh),
         grid=(bsize // tile, NWIN),
@@ -787,7 +866,7 @@ def poseidon_fused13(inputs, tile: int = 0, mode: str = "mxu"):
         tile = tile or _pick_tile(bsize, 2048)  # i32 matmul scratch bound
         w = _poseidon_mxu_w(t)
         kern = functools.partial(_poseidon13_mxu_kernel, t=t, rf=rf, rp=rp)
-        return pl.pallas_call(
+        return _pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((16, bsize), jnp.uint32),
             grid=(bsize // tile, rf + rp),
@@ -810,7 +889,7 @@ def poseidon_fused13(inputs, tile: int = 0, mode: str = "mxu"):
         )(jnp.asarray(ark), jnp.asarray(w), inputs)
     tile = tile or _pick_tile(bsize, 4096)
     kern = functools.partial(_poseidon13_kernel, t=t, rf=rf, rp=rp, mds=mds)
-    return pl.pallas_call(
+    return _pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((16, bsize), jnp.uint32),
         grid=(bsize // tile, rf + rp),
@@ -987,13 +1066,125 @@ def scalar_mul_fused_tw13(x, y, s, tile: int = 0):
     tile = tile or _pick_tile(bsize, 1024)  # 4-component table: VMEM-bound
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
-    return pl.pallas_call(
+    return _pallas_call(
         _ladder_tw13_kernel,
         out_shape=(sh, sh, sh),
         grid=(bsize // tile,),
         in_specs=[bs, bs, bs],
         out_specs=(bs, bs, bs),
         scratch_shapes=[pltpu.VMEM((TSIZE, 4, N, tile), jnp.uint32)],
+    )(x, y, s)
+
+
+# ---------------------------------------------------------------------------
+# Signed-window (Booth) variable-base ladder: 9-entry table
+#
+# Modified-Booth recoding with w = 4: digit_j = nibble_j + bit(4j-1)
+# - 16*bit(4j+3), giving digits in [-8, 8] with the closed-form carry
+# (no sequential recode pass): sum_j digit_j*16^j == s exactly when
+# bit 255 of s is 0 (callers reduce mod ORDER < 2^254).
+#
+# Wins over the unsigned kernel (scalar_mul_fused_tw13):
+#   * table entries 0..8 (9) instead of 0..15 (16): 7 build adds, not 14;
+#   * one-hot table reads scan 9 entries, not 16;
+#   * table VMEM (9, 4, 20, tile)*4B halves -> tile 2048 fits the budget
+#     (tile size measured as the #1 ladder lever, see ROOFLINE.md).
+# Negation at read time is nearly free on the a=-1 twist: -(X, Y, Z, T)
+# has entry (u, v, k) -> (v, u, -k) (swap + one lazy negate).
+# ---------------------------------------------------------------------------
+
+TSIZE_S = 9  # magnitudes 0..8
+
+
+def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
+    """Signed-window ladder on the a=-1 twist. tab: (9, 4, N, tile)."""
+    one = [jnp.full_like(x_ref[0, :], int(v)) for v in ONE_M13]
+    zero = [jnp.zeros_like(x_ref[0, :]) for _ in range(N)]
+
+    px = emit_canon13(emit_shl4_13(emit_repack_16to13(
+        [x_ref[k, :] for k in range(16)])))
+    py = emit_canon13(emit_shl4_13(emit_repack_16to13(
+        [y_ref[k, :] for k in range(16)])))
+    pxt = emit_mul_const13(S_M13, px)        # twisted x
+    t1 = emit_mul13(pxt, py)
+    p1 = (pxt, py, one, t1)
+
+    def write_entry(d, ent):
+        for c in range(4):
+            for k in range(N):
+                tab[d, c, k, :] = ent[c][k]
+
+    write_entry(0, (one, one, zero, one))    # identity entry
+    e1 = _entry_from_point13(p1)
+    write_entry(1, e1)
+    cur = p1
+    for d in range(2, TSIZE_S):
+        cur = emit_addE13(cur, e1, want_t=True)
+        write_entry(d, _entry_from_point13(cur))
+
+    def read_entry_onehot(mag):
+        acc = [[None] * N for _ in range(4)]
+        for d in range(TSIZE_S):
+            m = (mag == _u32(d)).astype(_u32)
+            for c in range(4):
+                for k in range(N):
+                    v = m * tab[d, c, k, :]
+                    acc[c][k] = v if acc[c][k] is None else acc[c][k] + v
+        return tuple(acc)
+
+    def body(j, r):
+        rx, ry, rz = r
+        for _i in range(3):
+            rx, ry, rz, _t = emit_dblE13((rx, ry, rz, None), want_t=False)
+        rx, ry, rz, rt = emit_dblE13((rx, ry, rz, None), want_t=True)
+        bitpos = (NWIN - 1 - j) * W
+        limb = s_ref[bitpos // 16, :]
+        raw = (limb >> _u32(bitpos % 16)) & _u32(15)
+        hi = raw >> 3                       # bit(bitpos + 3): nibble MSB
+        pb = jnp.maximum(bitpos - 1, 0)
+        lo = (s_ref[pb // 16, :] >> _u32(pb % 16)) & _u32(1)
+        lo = jnp.where(bitpos > 0, lo, _u32(0))
+        d = raw.astype(_i32) + lo.astype(_i32) - (hi.astype(_i32) << 4)
+        sign = d < 0
+        mag = jnp.where(sign, -d, d).astype(_u32)
+        u, v, kk, z2 = read_entry_onehot(mag)
+        kneg = emit_sub13(zero, kk)          # -k (lazy, < 4p)
+        ent = ([jnp.where(sign, b, a) for a, b in zip(u, v)],
+               [jnp.where(sign, a, b) for a, b in zip(u, v)],
+               [jnp.where(sign, b, a) for a, b in zip(kk, kneg)],
+               z2)
+        x3, y3, z3, _t = emit_addE13((rx, ry, rz, rt), ent, want_t=False)
+        return (x3, y3, z3)
+
+    r = jax.lax.fori_loop(0, NWIN, body, (zero, one, one))
+
+    xout = emit_mul_const13(SINV_M13, r[0])
+    to16 = [jnp.full_like(x_ref[0, :], int(v)) for v in TO_R16]
+    for ref, limbs in ((ox, xout), (oy, r[1]), (oz, r[2])):
+        m16 = emit_cond_sub13(emit_mul13(limbs, to16))
+        l16 = emit_repack_13to16(m16)
+        for k in range(16):
+            ref[k, :] = l16[k]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def scalar_mul_fused_sw13(x, y, s, tile: int = 0):
+    """Variable-base scalar mul, signed-window Booth ladder (production
+    route). Requires scalars < 2^255 (callers reduce mod ORDER)."""
+    bsize = x.shape[1]
+    # 9-entry table fits tile 2048 (5.9MB) but measures SLOWER than 1024
+    # (1.382M vs 1.430M scalar-muls/s on v5e): the freed VMEM does not
+    # pay for the reduced pipelining headroom. Measured 2026-08-17.
+    tile = tile or _pick_tile(bsize, 1024)
+    bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
+    return _pallas_call(
+        _ladder_sw13_kernel,
+        out_shape=(sh, sh, sh),
+        grid=(bsize // tile,),
+        in_specs=[bs, bs, bs],
+        out_specs=(bs, bs, bs),
+        scratch_shapes=[pltpu.VMEM((TSIZE_S, 4, N, tile), jnp.uint32)],
     )(x, y, s)
 
 
@@ -1113,7 +1304,7 @@ def sqrt_fused13(x, tile: int = 0):
     tile = tile or _pick_tile(x.shape[1], 4096)
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     qs = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    root, qr = pl.pallas_call(
+    root, qr = _pallas_call(
         _sqrt13_kernel,
         out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.uint32),
                    jax.ShapeDtypeStruct((1, x.shape[1]), jnp.uint32)),
@@ -1129,7 +1320,7 @@ def inv_fused13(x, tile: int = 0):
     """Batched field inverse, (16, B) mont16 -> (16, B) mont16."""
     tile = tile or _pick_tile(x.shape[1], 4096)
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         _inv13_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
         grid=(x.shape[1] // tile,),
@@ -1155,7 +1346,7 @@ def _mulmod13_kernel(a_ref, b_ref, o_ref, *, square):
 def mulmod13(a, b, tile: int = 512, square: bool = False):
     """(20, B) canonical 13-bit mont13 limbs -> canonical product."""
     bs = pl.BlockSpec((N, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_mulmod13_kernel, square=square),
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
         grid=(a.shape[1] // tile,),

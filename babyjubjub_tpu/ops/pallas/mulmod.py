@@ -26,6 +26,12 @@ MASK = F.MASK
 LB = F.LIMB_BITS
 
 
+def _pallas_call(*args, **kwargs):
+    """pallas_call with the module INTERPRET switch (see fast13.py)."""
+    from . import fast13
+    return pl.pallas_call(*args, interpret=fast13.INTERPRET, **kwargs)
+
+
 def emit_prod_columns(a, b):
     """Unrolled schoolbook product columns: a, b lists of 16 (TILE,) u32
     vectors -> 32 column vectors (< 2^21)."""
@@ -307,7 +313,7 @@ def _mulmod_call(a, b, q_limbs, ninv, tile, mode, square=False):
         m_np, _, m_q, _ = _mxu_consts(q_limbs)
         kern = functools.partial(_mulmod_kernel_mxu, q_limbs=q_limbs,
                                  ninv=ninv, square=square)
-        return pl.pallas_call(
+        return _pallas_call(
             kern,
             out_shape=out,
             grid=(bsize // tile,),
@@ -319,7 +325,7 @@ def _mulmod_call(a, b, q_limbs, ninv, tile, mode, square=False):
                              q_limbs=q_limbs, ninv=ninv)
     ins = [_block(tile)] if square else [_block(tile), _block(tile)]
     args = (a,) if square else (a, b)
-    return pl.pallas_call(
+    return _pallas_call(
         kern, out_shape=out, grid=(bsize // tile,),
         in_specs=ins, out_specs=_block(tile))(*args)
 
@@ -376,7 +382,7 @@ def _submod_kernel(a_ref, b_ref, o_ref, *, q_limbs):
 def _ewise_call(a, b, q_limbs, tile, op):
     kern = functools.partial(
         _addmod_kernel if op == "add" else _submod_kernel, q_limbs=q_limbs)
-    return pl.pallas_call(
+    return _pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(a.shape, jnp.uint32),
         grid=(a.shape[1] // tile,),
@@ -399,7 +405,7 @@ def _reduce_call(acc, q_limbs, ninv, tile, n_sub):
     bsize = acc.shape[1]
     kern = functools.partial(_reduce_kernel, q_limbs=q_limbs, ninv=ninv,
                              n_sub=n_sub)
-    return pl.pallas_call(
+    return _pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((NLIMB, bsize), jnp.uint32),
         grid=(bsize // tile,),

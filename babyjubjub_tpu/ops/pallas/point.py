@@ -22,6 +22,13 @@ from .. import field as F
 from . import mulmod as MK
 from ...utils import hostmath as H
 
+
+def _pallas_call(*args, **kwargs):
+    """pallas_call with the module INTERPRET switch (see fast13.py)."""
+    from . import fast13
+    return pl.pallas_call(*args, interpret=fast13.INTERPRET, **kwargs)
+
+
 NLIMB = F.NLIMB
 SPEC = F.FQ_SPEC
 _QL = tuple(int(v) for v in SPEC.p_limbs)
@@ -129,7 +136,7 @@ def _specs(n_in, tile):
 def point_double(x, y, z, tile: int = 512):
     ins, outs = _specs(3, tile)
     sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
-    return pl.pallas_call(
+    return _pallas_call(
         _dbl_kernel, out_shape=(sh, sh, sh), grid=(x.shape[1] // tile,),
         in_specs=ins, out_specs=outs)(x, y, z)
 
@@ -138,6 +145,6 @@ def point_double(x, y, z, tile: int = 512):
 def point_add(x1, y1, z1, x2, y2, z2, tile: int = 512):
     ins, outs = _specs(6, tile)
     sh = jax.ShapeDtypeStruct(x1.shape, jnp.uint32)
-    return pl.pallas_call(
+    return _pallas_call(
         _add_kernel, out_shape=(sh, sh, sh), grid=(x1.shape[1] // tile,),
         in_specs=ins, out_specs=outs)(x1, y1, z1, x2, y2, z2)

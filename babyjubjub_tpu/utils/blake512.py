@@ -156,9 +156,26 @@ def _load_native():
     return False
 
 
+def _backend():
+    """Resolve the BLAKE backend per config (BJJ_BLAKE=auto|native|py) —
+    the analog of the reference's blake-hash/blake cargo feature pair
+    (/root/reference/Cargo.toml:40-42, lib.rs:11-15). "native" raises if
+    the .so is missing; "py" forces the pure-python path; "auto" prefers
+    native when present."""
+    from . import config
+    mode = config.CONFIG.blake
+    if mode == "py":
+        return False
+    lib = _load_native()
+    if mode == "native" and not lib:
+        raise RuntimeError(
+            "BJJ_BLAKE=native but native/libbjjnative.so is not available")
+    return lib
+
+
 def digest(data: bytes) -> bytes:
     """BLAKE-512 digest (64 bytes). Native C++ path when available."""
-    lib = _load_native()
+    lib = _backend()
     if lib:
         out = ctypes.create_string_buffer(64)
         lib.blake512_digest(bytes(data), len(data), out)
@@ -168,7 +185,7 @@ def digest(data: bytes) -> bytes:
 
 def digest_batch(msgs: list) -> list:
     """Batch of equal-length messages -> list of 64-byte digests."""
-    lib = _load_native()
+    lib = _backend()
     if lib and msgs and all(len(m) == len(msgs[0]) for m in msgs):
         n, ln = len(msgs), len(msgs[0])
         buf = b"".join(msgs)

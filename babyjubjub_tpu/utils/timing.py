@@ -22,7 +22,7 @@ def chain_timer(step_fn, state0, k_lo: int = 1, k_hi: int | None = None,
     step_fn: state -> state (data-dependent so iterations can't collapse);
     state0: initial pytree of device arrays.
 
-    With k_hi=None, the chain length auto-scales (64, 1k, 16k, 128k)
+    With k_hi=None, the chain length auto-scales (64, 4096, 131072)
     until the K-difference exceeds `min_delta` seconds — below that the
     ~40 ms relay sync noise swamps the signal and the quotient is
     garbage. An explicit k_hi keeps the legacy fixed-K behavior.

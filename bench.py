@@ -82,6 +82,16 @@ def main():
     ok = np.asarray(eddsa._verify_core(rx, ry, vx, vy, ss, ms))
     assert ok.all(), "bench verify produced False lanes"
 
+    # pad-boundary check: an odd batch (B-1) pads to the tile multiple B
+    # and reuses the SAME compiled graph; exercises the pad+slice
+    # marshalling on real hardware every bench run.
+    n_odd = B - 1
+    ok_odd = eddsa.verify_batch(
+        [pks[i % nk] for i in range(n_odd)],
+        [sigs[i % nk] for i in range(n_odd)],
+        [msgs[i % nk] for i in range(n_odd)])
+    assert all(ok_odd) and len(ok_odd) == n_odd, "odd-batch verify failed"
+
     def ver_step(m):
         # real data dependency (verify cost is msg-independent)
         okv = eddsa.verify_core(rx, ry, vx, vy, ss, m)
@@ -89,6 +99,28 @@ def main():
 
     dt_ver = timing.chain_timer(ver_step, ms, 1, k_hi)
     verifies_per_s = B / dt_ver
+
+    # ---- wire-format verify /s (decompress fused into the pipeline) -------
+    from babyjubjub_tpu.utils import codec
+    pk_rows = np.frombuffer(
+        b"".join(codec.compress_point(pks[i % nk]) for i in idx),
+        dtype=np.uint8).reshape(B, 32)
+    r_rows = np.frombuffer(
+        b"".join(codec.compress_point(sigs[i % nk][0]) for i in idx),
+        dtype=np.uint8).reshape(B, 32)
+    pk_y, pk_sg = map(jax.device_put, codec.split_compressed_batch(pk_rows))
+    r_y, r_sg = map(jax.device_put, codec.split_compressed_batch(r_rows))
+
+    okw = np.asarray(eddsa._verify_compressed_core(
+        pk_y, pk_sg, r_y, r_sg, ss, ms))
+    assert okw.all(), "bench wire-format verify produced False lanes"
+
+    def wver_step(m):
+        okv = eddsa.verify_compressed_core(pk_y, pk_sg, r_y, r_sg, ss, m)
+        return m.at[0].set((m[0] + okv.astype(jax.numpy.uint32)) & 0xFFFF)
+
+    dt_wver = timing.chain_timer(wver_step, ms, 1, k_hi)
+    wire_verifies_per_s = B / dt_wver
 
     # ---- micro benches (criterion analogs) --------------------------------
     one = jax.device_put(F.ints_to_array(
@@ -168,6 +200,7 @@ def main():
             "batch": B,
             "scalar_mults_per_sec": round(mults_per_s, 1),
             "eddsa_verifies_per_sec": round(verifies_per_s, 1),
+            "wire_verifies_per_sec": round(wire_verifies_per_s, 1),
             "verify_vs_baseline_per_chip": round(
                 (verifies_per_s / ndev) / (1_000_000 / 8), 4),
             # constant-time ladder: n=3 costs the same as a 254-bit n

@@ -51,6 +51,110 @@ def test_config_defaults():
     assert c.tile == 512 and c.window == 4
 
 
+def test_blake_backend_knob():
+    """BJJ_BLAKE selects a real code path: "py" must bypass the native
+    .so, "native" must use (or demand) it — the analog of the reference's
+    blake-hash/blake feature pair (Cargo.toml:40-42)."""
+    from babyjubjub_tpu.utils.config import CONFIG
+    old = CONFIG.blake
+    try:
+        CONFIG.blake = "py"
+        assert blake512._backend() is False
+        d_py = blake512.digest(b"knob")
+        CONFIG.blake = "native"
+        if blake512._load_native():
+            assert blake512._backend() is not False
+            assert blake512.digest(b"knob") == d_py
+        else:
+            with pytest.raises(RuntimeError, match="BJJ_BLAKE=native"):
+                blake512.digest(b"knob")
+    finally:
+        CONFIG.blake = old
+
+
+def test_window_knob():
+    """BJJ_WINDOW feeds scalar_mul_windowed/fixed_base_mul defaults."""
+    import jax
+    from babyjubjub_tpu.ops import field as F, curve as C
+    from babyjubjub_tpu.utils.config import CONFIG
+    s = 0xA5F00D ** 7
+    pt = H.mul_scalar(H.B8, 11)
+    want = H.mul_scalar(pt, s)
+    aff = C.points_to_arrays([pt])
+    ss = F.ints_to_array([s])
+    old = CONFIG.window
+    try:
+        for w in (2, 8):
+            CONFIG.window = w
+            got = C.arrays_to_points(
+                jax.jit(C.scalar_mul_windowed_affine)(aff, ss))[0]
+            assert got == want, f"w={w}"
+            gotf = C.arrays_to_points(
+                jax.jit(C.fixed_base_mul_affine)(ss))[0]
+            assert gotf == H.mul_scalar(H.B8, s), f"fixed w={w}"
+        CONFIG.window = 5
+        with pytest.raises(AssertionError):
+            C.scalar_mul_windowed(aff, ss)
+    finally:
+        CONFIG.window = old
+
+
+def test_verify_compressed_no_retrace():
+    """Regression (round-1 verdict): the wire-format verify core must be
+    jitted at module scope so repeat calls hit the jit cache instead of
+    re-tracing (~31 s/call when the core closure was per-call)."""
+    import babyjubjub_tpu as bjj
+    from babyjubjub_tpu.models import eddsa
+    k = bytes(range(32))
+    sk = bjj.PrivateKey(k)
+    pk = sk.public().compress()
+    sig = sk.sign(77).compress()
+    before = eddsa._verify_compressed_core._cache_size()
+    assert eddsa.verify_compressed_batch([pk], [sig], [77]) == [True]
+    assert eddsa.verify_compressed_batch([pk], [sig], [78]) == [False]
+    after = eddsa._verify_compressed_core._cache_size()
+    assert after <= before + 1, "verify_compressed_batch re-traced"
+
+
+def test_verify_compressed_bad_lengths():
+    """Wrong-length wire inputs mark the lane False instead of raising
+    (the analog of the reference's [u8;32]/[u8;64] typed API)."""
+    import babyjubjub_tpu as bjj
+    k = bytes(range(32))
+    sk = bjj.PrivateKey(k)
+    pk = sk.public().compress()
+    sig = sk.sign(5).compress()
+    from babyjubjub_tpu.models import eddsa
+    ok = eddsa.verify_compressed_batch(
+        [pk, pk[:31], pk], [sig, sig, sig[:63]], [5, 5, 5])
+    assert ok == [True, False, False]
+
+
+def test_profiling_trace_and_report():
+    """Smoke: the tracing context manager produces a trace dir and
+    op_report returns positive rates (SURVEY.md section 5.1)."""
+    import os
+    import tempfile
+    import jax.numpy as jnp
+    from babyjubjub_tpu.utils import profiling
+    with tempfile.TemporaryDirectory() as td:
+        with profiling.trace(td):
+            jnp.arange(8).sum().block_until_ready()
+        assert os.listdir(td), "no trace artifacts written"
+    rep = profiling.op_report(batch=8)
+    assert rep and all(v > 0 for v in rep.values())
+
+
+def test_cli_report_smoke():
+    out = subprocess.run(
+        [sys.executable, "-m", "babyjubjub_tpu", "report", "--batch", "8"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env=_cpu_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-800:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert all(v > 0 for v in rep.values())
+
+
 def test_cli_keygen_sign_verify():
     out = subprocess.run(
         [sys.executable, "-m", "babyjubjub_tpu", "keygen"],

@@ -1,0 +1,60 @@
+"""MSM exactness: both engines vs the host BigInt model.
+
+The reference has no MSM; exactness is pinned against the host model
+(hostmath mul_scalar/point_add, themselves pinned by reference KATs).
+"""
+
+import random
+
+import jax
+import pytest
+
+from babyjubjub_tpu.models import msm as M
+from babyjubjub_tpu.ops import field as F, curve as C
+from babyjubjub_tpu.utils import hostmath as H
+
+rng = random.Random(777)
+
+
+def _host_msm(pts, scalars):
+    acc = H.IDENTITY
+    for p, n in zip(pts, scalars):
+        acc = H.point_add(acc, H.mul_scalar(p, n % H.ORDER))
+    return acc
+
+
+def _cases(n):
+    pts = [H.mul_scalar(H.B8, rng.randrange(1, H.SUBORDER)) for _ in range(n)]
+    scalars = [0, 1, H.ORDER - 1] + [rng.randrange(H.ORDER)
+                                     for _ in range(n - 3)]
+    return pts, scalars[:n]
+
+
+@pytest.mark.parametrize("n", [1, 5, 32])
+def test_msm_api_exact(n):
+    pts, scalars = _cases(n)
+    assert M.msm(pts, scalars) == _host_msm(pts, scalars)
+
+
+@pytest.mark.parametrize("n,w", [(33, 4), (64, 3)])
+def test_msm_pippenger_exact(n, w):
+    """Direct Pippenger-engine calls at small n / small windows.
+
+    Small w keeps the bucket suffix-scan graph CPU-compilable (the
+    default w=8 builds a 255-bucket associative-scan graph that takes
+    tens of minutes to compile on a single core); the production w=8
+    path is asserted exact against the ladder engine on real TPU by
+    scripts/ablate_msm.py. w=4 covers limb-aligned digit extraction;
+    w=3 covers the two-limb straddle branch (3 does not divide 16) and
+    the same scan/bucket/Horner algebra."""
+    pts, scalars = _cases(n)
+    aff = C.points_to_arrays(pts)
+    s = F.ints_to_array([v % H.ORDER for v in scalars])
+    proj = jax.jit(lambda a, b: M.msm_pippenger_core(a, b, w=w))(aff, s)
+    (got,) = C.arrays_to_points(jax.jit(C.to_affine)(proj))
+    assert got == _host_msm(pts, scalars)
+
+
+def test_msm_engine_threshold():
+    assert M.msm_core.__doc__  # engine split documented
+    assert M.PIPPENGER_MIN_B >= 1024
