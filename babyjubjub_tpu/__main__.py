@@ -5,8 +5,13 @@ Usage:
   python -m babyjubjub_tpu pubkey  --key <hex32>
   python -m babyjubjub_tpu sign    --key <hex32> --msg <int>
   python -m babyjubjub_tpu verify  --pk <hex32> --sig <hex64> --msg <int>
+  python -m babyjubjub_tpu verify-batch [--file sigs.jsonl]
   python -m babyjubjub_tpu bench   [--batch N]
   python -m babyjubjub_tpu report  [--batch N]
+
+verify-batch reads JSONL records {"pk": <hex32>, "sig": <hex64>,
+"msg": <int>} (stdin when --file is absent) and runs the whole file
+through the fused wire-format batch pipeline in one device dispatch.
 """
 
 from __future__ import annotations
@@ -40,6 +45,8 @@ def main(argv=None):
     p.add_argument("--pk", required=True)
     p.add_argument("--sig", required=True)
     p.add_argument("--msg", required=True)
+    p = sub.add_parser("verify-batch")
+    p.add_argument("--file", default=None)
     p = sub.add_parser("bench")
     p.add_argument("--batch", type=int, default=0)
     p.add_argument("--quick", action="store_true")
@@ -75,6 +82,23 @@ def main(argv=None):
         ok = bjj.verify(pk, sig, int(args.msg))
         print(json.dumps({"valid": bool(ok)}))
         return 0 if ok else 1
+    elif args.cmd == "verify-batch":
+        from babyjubjub_tpu.models import eddsa
+        fh = open(args.file) if args.file else sys.stdin
+        pks, sigs, msgs = [], [], []
+        with fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                pks.append(bytes.fromhex(rec["pk"]))
+                sigs.append(bytes.fromhex(rec["sig"]))
+                msgs.append(int(rec["msg"]))
+        oks = eddsa.verify_compressed_batch(pks, sigs, msgs)
+        print(json.dumps({"count": len(oks), "ok": sum(oks),
+                          "valid": oks}))
+        return 0 if all(oks) else 1
     elif args.cmd == "report":
         from babyjubjub_tpu.utils.profiling import op_report
         print(json.dumps({k: round(v, 1)

@@ -3,10 +3,14 @@
 The reference has no MSM (every op is one point at a time); this is the
 batch workload BASELINE.json's north star measures. Two engines:
 
-* ``msm_pippenger_core`` (default for large batches): per-window bucket
-  accumulation, TPU-shaped. Classic Pippenger scatters points into
-  2^w buckets — a data-dependent scatter SIMD lanes can't do — so the
-  bucket sums are recovered with sort + prefix-scan algebra instead:
+* ``msm_ladder_core`` (the DEFAULT at every size): batched windowed
+  scalar-mul over all lanes (the fused signed-window ladder, fully
+  VMEM-resident), then a log2(B) tree of batched point adds.
+
+* ``msm_pippenger_core`` (exact, tested, opt-in): per-window bucket
+  accumulation via sort + prefix-scan algebra. Classic Pippenger
+  scatters points into 2^w buckets — a data-dependent scatter SIMD
+  lanes can't do — so the bucket sums are recovered as:
 
     1. per window j: digit_i = bits [wj, wj+w) of scalar_i (device-side,
        static per-window extraction from the 16-bit limbs);
@@ -22,13 +26,18 @@ batch workload BASELINE.json's north star measures. Two engines:
        buckets, then tree-reduce the suffix sums;
     6. Horner-combine the window sums: R = 2^w R + W_j.
 
-  Work: ~2B scan adds + ~2*2^w bucket adds per window (vs the ladder's
-  ~320 VMEM ops per lane), at the cost of HBM round-trips per scan
-  level; measured crossover and the 2x+ win land at B >= ~16k.
-
-* ``msm_ladder_core`` (small batches / fallback): batched windowed
-  scalar-mul over all lanes (the fused signed-window ladder), then a
-  log2(B) tree of batched point adds.
+  MEASURED VERDICT (v5e, 2026-08-17, scripts/msm_timing.py): at
+  B=16384 the ladder takes 22.7 ms/MSM (722k pt-muls/s) and Pippenger
+  2529 ms — group-op counting favors Pippenger ~5x, but every saved
+  add is repaid >100x in data movement: per-lane gathers
+  (jnp.take along the lane axis for the sort permutation and the 2^w
+  bucket extraction) and the strided odd/even slices of the scan have
+  no efficient TPU lowering, while the ladder never leaves VMEM. The
+  round-1 design note anticipated this; the measurement settles it.
+  Engines agree bit-exactly on TPU at B=16384 and on CPU at all
+  tested sizes, so the implementation stands as a verified reference
+  for any future memory-layout rework (e.g. bucketing on the sublane
+  axis or an on-chip sort), but the ladder is the production engine.
 
 Both engines are exact (bit-identical to the host BigInt model) and
 sharded across the mesh via parallel/sharded.msm_sharded (per-device
@@ -48,9 +57,11 @@ from ..utils import hostmath as H
 
 fq = F.fq()
 
-# Lane count at or above which the Pippenger engine beats the ladder
-# (measured on v5e: scan adds amortize once B spans many pallas tiles).
-PIPPENGER_MIN_B = 16384
+# Pippenger never beats the fused ladder on TPU (see module docstring:
+# 2529 vs 22.7 ms/MSM at B=16384) — lane-gather costs dwarf the saved
+# group ops. None disables routing; set an int to re-enable for
+# experiments.
+PIPPENGER_MIN_B = None
 
 
 def tree_reduce_points(proj):
@@ -153,8 +164,9 @@ def msm_ladder_core(aff, scalars):
 
 
 def msm_core(aff, scalars):
-    """Engine selection by batch size (both exact)."""
-    if aff[0].shape[-1] >= PIPPENGER_MIN_B:
+    """Engine selection (both exact; ladder wins at every measured size)."""
+    if PIPPENGER_MIN_B is not None and \
+            aff[0].shape[-1] >= PIPPENGER_MIN_B:
         return msm_pippenger_core(aff, scalars)
     return msm_ladder_core(aff, scalars)
 

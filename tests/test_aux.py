@@ -155,6 +155,37 @@ def test_cli_report_smoke():
     assert all(v > 0 for v in rep.values())
 
 
+def test_cli_verify_batch():
+    """verify-batch: JSONL wire records through the fused pipeline."""
+    import babyjubjub_tpu as bjj
+    import os
+    import tempfile
+    sk = bjj.PrivateKey(bytes(range(32)))
+    pk = sk.public().compress().hex()
+    recs = []
+    for m in (7, 8):
+        recs.append({"pk": pk, "sig": sk.sign(m).compress().hex(),
+                     "msg": m})
+    recs.append({"pk": pk, "sig": recs[0]["sig"], "msg": 9})  # bad lane
+    with tempfile.NamedTemporaryFile("w", suffix=".jsonl",
+                                     delete=False) as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+        path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "babyjubjub_tpu", "verify-batch",
+             "--file", path],
+            capture_output=True, text=True, cwd="/root/repo",
+            env=_cpu_env(), timeout=600)
+        assert out.returncode == 1, out.stderr[-800:]  # one invalid lane
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        assert res["count"] == 3 and res["ok"] == 2
+        assert res["valid"] == [True, True, False]
+    finally:
+        os.unlink(path)
+
+
 def test_cli_keygen_sign_verify():
     out = subprocess.run(
         [sys.executable, "-m", "babyjubjub_tpu", "keygen"],

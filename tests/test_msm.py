@@ -55,6 +55,7 @@ def test_msm_pippenger_exact(n, w):
     assert got == _host_msm(pts, scalars)
 
 
-def test_msm_engine_threshold():
-    assert M.msm_core.__doc__  # engine split documented
-    assert M.PIPPENGER_MIN_B >= 1024
+def test_msm_engine_default_is_ladder():
+    """Measured on v5e: the fused ladder beats sort-based Pippenger by
+    ~100x (gather costs), so routing must default to the ladder."""
+    assert M.PIPPENGER_MIN_B is None
