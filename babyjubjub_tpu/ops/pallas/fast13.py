@@ -184,12 +184,13 @@ def emit_sq13(a):
 
 
 def emit_mul13_schoolbook(a, b):
-    """Pre-Karatsuba multiplier (400 products), kept for ablation."""
-    return _emit_reduce13(_emit_prod_cols(a, b))
+    """Pre-Karatsuba multiplier (400 products), kept for ablation.
+    _emit_reduce13 expects exactly 2N columns; pad the 2N-1 real ones."""
+    return _emit_reduce13(_emit_prod_cols(a, b) + [None])
 
 
 def emit_sq13_schoolbook(a):
-    return _emit_reduce13(_emit_sq_cols(a))
+    return _emit_reduce13(_emit_sq_cols(a) + [None])
 
 
 def _emit_reduce13(t):
