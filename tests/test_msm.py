@@ -55,6 +55,23 @@ def test_msm_pippenger_exact(n, w):
     assert got == _host_msm(pts, scalars)
 
 
+@pytest.mark.parametrize("w", [3, 4, 8, 12])
+def test_window_digit_extraction(w):
+    """_window_digits == plain python bit slicing, incl. limb straddles
+    (w = 3, 12 do not divide the 16-bit limb width)."""
+    from babyjubjub_tpu.ops import field as F
+    vals = [0, 1, (1 << 254) - 1] + [rng.randrange(1 << 254)
+                                     for _ in range(5)]
+    arr = F.ints_to_array(vals)
+    nwin = -(-254 // w)
+    got = M._window_digits(arr, w, nwin)
+    import numpy as np
+    got = np.asarray(got)
+    for j in range(nwin):
+        for i, v in enumerate(vals):
+            assert int(got[j, i]) == (v >> (w * j)) & ((1 << w) - 1), (j, i)
+
+
 def test_msm_engine_default_is_ladder():
     """Measured on v5e: the fused ladder beats sort-based Pippenger by
     ~100x (gather costs), so routing must default to the ladder."""
