@@ -238,6 +238,15 @@ class Fp:
             unroll=self._UNROLL)
         return jnp.where((borrow == 0)[None], diff, a)
 
+    def reduce_full(self, a: jnp.ndarray) -> jnp.ndarray:
+        """a mod p for ANY 256-bit limb value (canonical limbs, a < 2^256):
+        k conditional subtractions with k = floor((2^256 - 1) / p) — k = 5
+        for the curve-order ring (ORDER > 2^253), k = 1 for fq/fl."""
+        k = ((1 << NBITS) - 1) // self.spec.p
+        for _ in range(k):
+            a = self._cond_sub_p(a)
+        return a
+
     # -- ring ops ------------------------------------------------------------
     def _pallas_flat(self, a, b):
         """(af, bf, shape) when the pallas elementwise path applies, else None."""

@@ -75,6 +75,28 @@ def test_fixed_base_mul():
     assert got == [H.mul_scalar(H.B8, s) for s in SCALARS]
 
 
+def test_reduce_mod_order():
+    rng = random.Random(11)
+    vals = [0, 1, H.ORDER - 1, H.ORDER, H.ORDER + 1, 5 * H.ORDER,
+            (1 << 256) - 1] + [rng.randrange(1 << 256) for _ in range(16)]
+    got = F.array_to_ints(np.asarray(
+        jax.jit(C.reduce_mod_order)(F.ints_to_array(vals))))
+    assert got == [v % H.ORDER for v in vals]
+
+
+def test_scalar_mul_bit255_group_exact():
+    """Scalars with bit 255 set: true s*P == (s mod ORDER)*P on curve
+    points, so the fused route's device-side reduction (the guard for the
+    Booth recode's s < 2^255 precondition) is exact."""
+    rng = random.Random(13)
+    ss = [(1 << 255) | rng.randrange(1 << 255) for _ in range(4)]
+    sa = F.ints_to_array(ss)
+    ba = C.points_to_arrays([P] * len(ss))
+    got = C.arrays_to_points(jax.jit(C.scalar_mul_windowed_affine)(ba, sa))
+    assert got == [H.mul_scalar(P, s % H.ORDER) for s in ss]
+    assert got == [H.mul_scalar(P, s) for s in ss]
+
+
 def test_points_equal():
     pa = C.points_to_arrays([P, P, Q2])
     qa = C.points_to_arrays([P, Q2, Q2])
