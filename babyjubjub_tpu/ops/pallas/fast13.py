@@ -69,6 +69,17 @@ R13 = 1 << (LB * N)  # 2^260
 INTERPRET = False
 
 
+def set_interpret(value: bool) -> None:
+    """Toggle interpret-mode lowering. INTERPRET is read at trace time and
+    is NOT part of any jit cache key, so flipping the bare global after a
+    shape has been traced would silently reuse the previous lowering —
+    this setter clears the jit caches on every actual change."""
+    global INTERPRET
+    if bool(value) != INTERPRET:
+        INTERPRET = bool(value)
+        jax.clear_caches()
+
+
 def _pallas_call(*args, **kwargs):
     return pl.pallas_call(*args, interpret=INTERPRET, **kwargs)
 
@@ -553,12 +564,16 @@ def _comb_table13(base: tuple, w: int = W, nbits: int = 256) -> np.ndarray:
     return out
 
 
-def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
-    """Grid = (batch_tiles, NWIN): window j is a sequential grid step, so
+def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc, *, nwin: int = NWIN):
+    """Grid = (batch_tiles, nwin): window j is a sequential grid step, so
     the (64, TSIZE) table block for each window is pipeline-prefetched and
     all in-kernel indexing is static. The running extended point (a=-1
     twist) lives in scratch (4, N, tile) across window steps; madds
-    against affine (u, v, k) entries cost 7M + 1M for T."""
+    against affine (u, v, k) entries cost 7M + 1M for T.
+
+    nwin < NWIN is a test-only reduced geometry (the comb is LSB-first,
+    so it computes (s mod 2^(W*nwin)) * base) letting the default suite
+    run the real pallas plumbing with a small XLA-CPU interpret graph."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -596,7 +611,7 @@ def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
         racc[2, k, :] = z3[k]
         racc[3, k, :] = t3[k]
 
-    @pl.when(j == NWIN - 1)
+    @pl.when(j == nwin - 1)
     def _emit_out():
         xout = emit_mul_const13(SINV_M13, x3)
         to16 = [jnp.full_like(x3[0], int(v)) for v in TO_R16]
@@ -607,15 +622,19 @@ def _comb13_kernel(tab_ref, s_ref, ox, oy, oz, racc):
                 ref[k, :] = l16[k]
 
 
-@functools.partial(jax.jit, static_argnames=("base", "tile"))
-def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 0):
+@functools.partial(jax.jit, static_argnames=("base", "tile", "nwin"))
+def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 0,
+                       nwin: int = 0):
     """(16, B) canonical scalars -> mont16 projective scalar*base.
 
     The whole 64-window comb (one mixed add + one table select per
     window, zero doublings) runs in one kernel; the constant table is
-    streamed block-per-window by the grid pipeline.
+    streamed block-per-window by the grid pipeline. nwin overrides the
+    window count (test-only reduced geometry: computes
+    (s mod 2^(4*nwin)) * base); production always uses the full NWIN.
     """
-    tab = jnp.asarray(_comb_table13(base))
+    nwin = nwin or NWIN
+    tab = jnp.asarray(_comb_table13(base, nbits=W * nwin))
     bsize = s.shape[1]
     tile = tile or _pick_tile(bsize, 4096)
     bs = pl.BlockSpec((16, tile), lambda i, j: (0, i),
@@ -623,10 +642,12 @@ def fixed_base_fused13(s, base: tuple = tuple(H.B8), tile: int = 0):
     ts = pl.BlockSpec((1, _TROW, TSIZE), lambda i, j: (j, 0, 0),
                       memory_space=pltpu.VMEM)
     sh = jax.ShapeDtypeStruct(s.shape, jnp.uint32)
+    kern = (_comb13_kernel if nwin == NWIN
+            else functools.partial(_comb13_kernel, nwin=nwin))
     return _pallas_call(
-        _comb13_kernel,
+        kern,
         out_shape=(sh, sh, sh),
-        grid=(bsize // tile, NWIN),
+        grid=(bsize // tile, nwin),
         in_specs=[ts, bs],
         out_specs=(bs, bs, bs),
         scratch_shapes=[pltpu.VMEM((4, N, tile), jnp.uint32)],
@@ -847,19 +868,26 @@ def _poseidon13_consts(t: int):
     return ark, mds, rf, rp
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "mode"))
-def poseidon_fused13(inputs, tile: int = 0, mode: str = "mxu"):
+@functools.partial(jax.jit, static_argnames=("tile", "mode", "rounds"))
+def poseidon_fused13(inputs, tile: int = 0, mode: str = "mxu",
+                     rounds: tuple | None = None):
     """(16, nin, B) mont16 inputs -> (16, B) mont16 Poseidon hash.
 
     Whole permutation (rf + rp rounds) in one kernel: rounds ride the
     grid, ark constants stream per round. mode="mxu" (default) runs the
     MDS mix as two unsigned-int8 MXU matmuls (7+6-bit limb/entry split,
     no offset corrections); mode="vpu" uses the all-VPU lazy limb dot.
+    rounds=(rf, rp) overrides the round counts (test-only reduced
+    geometry against an int model of the same truncated permutation);
+    production always uses the Grain-derived full schedule.
     Parity: circomlib Poseidon (reference poseidon-rs dependency,
     /root/reference/src/lib.rs:332-333)."""
     nin, bsize = inputs.shape[1], inputs.shape[2]
     t = nin + 1
     ark, mds, rf, rp = _poseidon13_consts(t)
+    if rounds is not None:
+        rf, rp = rounds
+        ark = ark[:rf + rp]
     ins_map = lambda i, j: (0, 0, i)
     ab_map = lambda i, j: (j, 0, 0)
     ob_map = lambda i, j: (0, i)
@@ -1097,8 +1125,15 @@ def scalar_mul_fused_tw13(x, y, s, tile: int = 0):
 TSIZE_S = 9  # magnitudes 0..8
 
 
-def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
-    """Signed-window ladder on the a=-1 twist. tab: (9, 4, N, tile)."""
+def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, *,
+                        nwin: int = None):
+    """Signed-window ladder on the a=-1 twist. tab: (9, 4, N, tile).
+
+    nwin < NWIN processes only the TOP nwin windows (test-only reduced
+    geometry: the default-suite plumbing test runs this exact kernel with
+    a 2-window graph that XLA-CPU can compile in seconds)."""
+    if nwin is None:
+        nwin = NWIN
     one = [jnp.full_like(x_ref[0, :], int(v)) for v in ONE_M13]
     zero = [jnp.zeros_like(x_ref[0, :]) for _ in range(N)]
 
@@ -1157,7 +1192,7 @@ def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
         x3, y3, z3, _t = emit_addE13((rx, ry, rz, rt), ent, want_t=False)
         return (x3, y3, z3)
 
-    r = jax.lax.fori_loop(0, NWIN, body, (zero, one, one))
+    r = jax.lax.fori_loop(0, nwin, body, (zero, one, one))
 
     xout = emit_mul_const13(SINV_M13, r[0])
     to16 = [jnp.full_like(x_ref[0, :], int(v)) for v in TO_R16]
@@ -1168,10 +1203,14 @@ def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab):
             ref[k, :] = l16[k]
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def scalar_mul_fused_sw13(x, y, s, tile: int = 0):
+@functools.partial(jax.jit, static_argnames=("tile", "nwin"))
+def scalar_mul_fused_sw13(x, y, s, tile: int = 0, nwin: int = None):
     """Variable-base scalar mul, signed-window Booth ladder (production
-    route). Requires scalars < 2^255 (callers reduce mod ORDER)."""
+    route). Requires scalars < 2^255 — the production caller
+    (curve.scalar_mul_windowed) reduces mod ORDER on device first.
+
+    nwin (test-only, default all 64 windows): top-windows-only reduced
+    geometry for the default-suite plumbing test."""
     bsize = x.shape[1]
     # 9-entry table fits tile 2048 (5.9MB) but measures SLOWER than 1024
     # (1.382M vs 1.430M scalar-muls/s on v5e): the freed VMEM does not
@@ -1180,7 +1219,7 @@ def scalar_mul_fused_sw13(x, y, s, tile: int = 0):
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
     return _pallas_call(
-        _ladder_sw13_kernel,
+        functools.partial(_ladder_sw13_kernel, nwin=nwin),
         out_shape=(sh, sh, sh),
         grid=(bsize // tile,),
         in_specs=[bs, bs, bs],
@@ -1212,12 +1251,16 @@ def emit_pow_const13(a, e: int, w: int = 4):
     return acc
 
 
-def emit_inv13(a):
+def emit_inv13(a, e: int = P - 2):
     """Batched modular inverse via Fermat (inv(0) == 0, matching the
     16-bit path's convention used by to_affine, reference lib.rs:70-76).
     ~252 squarings + ~75 multiplies, all VMEM-resident.
-    Input < ~3p lazy; output < 2p (0 maps to 0)."""
-    return emit_pow_const13(a, P - 2)
+    Input < ~3p lazy; output < 2p (0 maps to 0).
+
+    e (test-only): a small exponent shrinks the statically-unrolled chain
+    so the default-suite plumbing test can compile this exact kernel on
+    XLA-CPU; Montgomery exponentiation is domain-stable for any e."""
+    return emit_pow_const13(a, e)
 
 
 # Tonelli-Shanks constants (2-adicity m = 28 for BN254-Fr)
@@ -1229,19 +1272,26 @@ while pow(_z, (P - 1) >> 1, P) != P - 1:
 TS_G13 = int_to_limbs13(pow(_z, _TS_QODD, P) * R13 % P)
 
 
-def emit_sqrt13(a):
+def emit_sqrt13(a, ts_m: int = _TS_M, ts_qodd: int = _TS_QODD,
+                ts_g13: tuple = TS_G13):
     """Masked fixed-bound Tonelli-Shanks square root, mont13 domain.
 
     Same structure as Fp.sqrt (ops/field.py) / reference utils.rs:109-160
     with the data-dependent loop bounded statically by the 2-adicity (28).
     Input a: lazy < 4p; returns (root < 2p, is_qr bool). ~230 + 378
     squarings + ~90 multiplies.
+
+    (ts_m, ts_qodd, ts_g13) are test-only overrides: tiny parameters make
+    the statically-unrolled chain compile on XLA-CPU in seconds, running
+    the SAME algorithm (compared against an int model in the default
+    suite); the defaults compute the real field sqrt.
     """
     one = [jnp.full_like(a[0], int(v)) for v in ONE_M13]
-    w = emit_pow_const13(a, (_TS_QODD - 1) // 2)
+    w = emit_pow_const13(a, (ts_qodd - 1) // 2) if ts_qodd > 1 else \
+        [jnp.full_like(a[0], int(v)) for v in ONE_M13]
     r = emit_mul13(w, a)
     t = emit_mul13(r, w)
-    c = [jnp.full_like(a[0], int(v)) for v in TS_G13]
+    c = [jnp.full_like(a[0], int(v)) for v in ts_g13]
 
     def canon(x):
         return emit_cond_sub13(x)
@@ -1254,7 +1304,7 @@ def emit_sqrt13(a):
             m = e if m is None else (m & e)
         return m
 
-    for i in range(_TS_M - 2, -1, -1):
+    for i in range(ts_m - 2, -1, -1):
         d = t
         for _ in range(i):
             d = emit_sq13(d)
@@ -1273,7 +1323,7 @@ def emit_sqrt13(a):
     return r, is_qr
 
 
-def _inv13_kernel(x_ref, o_ref):
+def _inv13_kernel(x_ref, o_ref, *, e: int = P - 2):
     """(16, tile) mont16 -> (16, tile) mont16 canonical inverse.
 
     Montgomery exponentiation is domain-stable (each mont-mul folds one
@@ -1281,17 +1331,20 @@ def _inv13_kernel(x_ref, o_ref):
     mont13(1/x) directly; convert back with the plain 2^256 multiply.
     """
     x13 = emit_shl4_13(emit_repack_16to13([x_ref[k, :] for k in range(16)]))
-    r = emit_inv13(x13)
+    r = emit_inv13(x13, e)
     to16 = [jnp.full_like(x13[0], int(v)) for v in TO_R16]
     l16 = emit_repack_13to16(emit_cond_sub13(emit_mul13(r, to16)))
     for k in range(16):
         o_ref[k, :] = l16[k]
 
 
-def _sqrt13_kernel(x_ref, o_ref, q_ref):
+def _sqrt13_kernel(x_ref, o_ref, q_ref, *, ts=None):
     x13 = emit_shl4_13(emit_repack_16to13([x_ref[k, :] for k in range(16)]))
     x13 = emit_canon13(x13)          # < 2p for the T-S exponent chain
-    r, is_qr = emit_sqrt13(x13)
+    if ts is None:
+        r, is_qr = emit_sqrt13(x13)
+    else:
+        r, is_qr = emit_sqrt13(x13, *ts)
     to16 = [jnp.full_like(x13[0], int(v)) for v in TO_R16]
     l16 = emit_repack_13to16(emit_cond_sub13(emit_mul13(r, to16)))
     for k in range(16):
@@ -1299,14 +1352,17 @@ def _sqrt13_kernel(x_ref, o_ref, q_ref):
     q_ref[0, :] = is_qr.astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def sqrt_fused13(x, tile: int = 0):
-    """Batched Tonelli-Shanks sqrt, (16, B) mont16 -> (root, is_qr)."""
+@functools.partial(jax.jit, static_argnames=("tile", "ts"))
+def sqrt_fused13(x, tile: int = 0, ts: tuple = None):
+    """Batched Tonelli-Shanks sqrt, (16, B) mont16 -> (root, is_qr).
+
+    ts (test-only): (m, qodd, g13_limbs) override for a tiny reduced
+    chain — see emit_sqrt13."""
     tile = tile or _pick_tile(x.shape[1], 4096)
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     qs = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     root, qr = _pallas_call(
-        _sqrt13_kernel,
+        functools.partial(_sqrt13_kernel, ts=ts),
         out_shape=(jax.ShapeDtypeStruct(x.shape, jnp.uint32),
                    jax.ShapeDtypeStruct((1, x.shape[1]), jnp.uint32)),
         grid=(x.shape[1] // tile,),
@@ -1316,13 +1372,16 @@ def sqrt_fused13(x, tile: int = 0):
     return root, qr[0].astype(bool)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def inv_fused13(x, tile: int = 0):
-    """Batched field inverse, (16, B) mont16 -> (16, B) mont16."""
+@functools.partial(jax.jit, static_argnames=("tile", "e"))
+def inv_fused13(x, tile: int = 0, e: int = P - 2):
+    """Batched field inverse, (16, B) mont16 -> (16, B) mont16.
+
+    e (test-only): small exponent for the default-suite plumbing test —
+    see emit_inv13."""
     tile = tile or _pick_tile(x.shape[1], 4096)
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     return _pallas_call(
-        _inv13_kernel,
+        functools.partial(_inv13_kernel, e=e),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
         grid=(x.shape[1] // tile,),
         in_specs=[bs],
