@@ -48,9 +48,16 @@ class Point:
     def mul_scalar(self, n: int) -> "Point":
         """Scalar multiplication (any-size n, like reference lib.rs:149-164).
 
-        Runs the batched device ladder with the scalar reduced mod ORDER
-        (group-exact for every curve point).
+        On-curve points run the batched device ladder with the scalar
+        reduced mod ORDER (group-exact: every point order divides ORDER,
+        so this is bit-equal to the reference's unreduced LSB-first
+        ladder). Off-curve (x, y) — which the reference happily feeds
+        through the raw add formulas — are routed through the host
+        projective model with the scalar UNREDUCED, preserving bit-exact
+        reference semantics where reduction would diverge.
         """
+        if not _H.is_on_curve((self.x, self.y)):
+            return Point(*_H.mul_scalar_any((self.x, self.y), n))
         from .ops import field as F, curve as C
         ba = C.points_to_arrays([(self.x, self.y)])
         sa = F.ints_to_array([n % _H.ORDER])
@@ -109,15 +116,18 @@ def test_bit(b: bytes, i: int) -> bool:
     return (b[i // 8] & (1 << (i % 8))) != 0
 
 
-def _mul_jit(ba, sa):
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def _mul_jit_fn():
     from .ops import curve as C
     import jax
-    global _MUL_JIT
-    try:
-        return _MUL_JIT(ba, sa)
-    except NameError:
-        _MUL_JIT = jax.jit(C.scalar_mul_windowed_affine)
-        return _MUL_JIT(ba, sa)
+    return jax.jit(C.scalar_mul_windowed_affine)
+
+
+def _mul_jit(ba, sa):
+    return _mul_jit_fn()(ba, sa)
 
 
 B8 = Point(*_H.B8)

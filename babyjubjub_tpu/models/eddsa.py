@@ -11,9 +11,13 @@ device runs every field/curve/Poseidon stage over the whole batch:
           R' = R + (8*hm mod ORDER)*A (windowed)  ; affine-equality
           without inversions (cross-multiplied).
 
-Scalars passed to ladders are < 2^256; reduction mod ORDER is group-exact
-for every curve point (all orders divide ORDER), so results are bit-equal
-to the reference's arbitrary-length LSB-first ladder.
+Scalar domains: the fixed-base comb accepts full 256-bit s; the
+variable-base ladder's fused TPU route reduces its scalar mod ORDER
+(< 2^254) on device (ops/curve.py reduce_mod_order) to satisfy the
+signed-window Booth recode's s < 2^255 precondition. Reduction mod ORDER
+is group-exact for every curve point (all point orders divide ORDER), so
+results are bit-equal to the reference's arbitrary-length LSB-first
+ladder for on-curve inputs.
 """
 
 from __future__ import annotations
@@ -81,6 +85,25 @@ def verify_core(rx_m, ry_m, ax_m, ay_m, s_s, msg_s):
     return C.affine_eq_proj(left, right)
 
 
+def sign_compressed_core(r_s, sk_s, sk8_s, msg_s):
+    """sign_core with device point compression fused after it: returns
+    (R_y canonical limbs, R sign bits, s limbs) — the device half of the
+    64-byte wire signature (reference Signature::compress, lib.rs:246-258)."""
+    from ..ops import codec_dev
+    rx, ry, s = sign_core(r_s, sk_s, sk8_s, msg_s)
+    y_can, sg = codec_dev.compress(rx, ry)
+    return y_can, sg, s
+
+
+def public_compressed_core(sk_s):
+    """Fixed-base pubkey derivation + device compression fused: returns
+    (y canonical limbs, sign bits) — the reference's Point::compress
+    (lib.rs:166-178) over a whole key batch."""
+    from ..ops import codec_dev
+    ax, ay = public_core(sk_s)
+    return codec_dev.compress(ax, ay)
+
+
 def verify_compressed_core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s):
     """Wire-format verify: batched device decompression (fixed-bound
     Tonelli-Shanks) fused ahead of verify_core. Invalid encodings -> False."""
@@ -93,6 +116,8 @@ def verify_compressed_core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s):
 _sign_core = jax.jit(sign_core)
 _public_core = jax.jit(public_core)
 _verify_core = jax.jit(verify_core)
+_sign_compressed_core = jax.jit(sign_compressed_core)
+_public_compressed_core = jax.jit(public_compressed_core)
 # Module-level jit: the cache keys on shapes only. Defining this inside
 # verify_compressed_batch would key on a fresh closure per call and
 # re-trace every time (round-1 judge measured ~31 s/call steady state).
@@ -170,6 +195,41 @@ def sign_batch(keys: list, msgs: list) -> list:
     return list(zip(r_pts, s_ints))
 
 
+def public_compressed_batch(keys: list) -> list:
+    """32-byte compressed public keys for a list of private keys —
+    byte-identical to per-item Point::compress (lib.rs:166-178), with the
+    compression (from-Montgomery + sign-bit select) fused on device."""
+    n = len(keys)
+    sks = [K.scalar_key(k) for k in keys]
+    y_can, sg = _public_compressed_core(_limbs(sks, _pad_to(n)))
+    rows = codec.assemble_compressed_batch(
+        np.asarray(y_can)[:, :n], np.asarray(sg)[:n])
+    return [rows[i].tobytes() for i in range(n)]
+
+
+def sign_compressed_batch(keys: list, msgs: list) -> list:
+    """Batch wire-format sign: 64-byte compressed signatures, byte-identical
+    to per-item Signature::compress (lib.rs:246-258). Device compresses R
+    in the same fused graph as the sign core; host assembles bytes.
+
+    Raises ValueError when any msg > Q (reference lib.rs:309-311)."""
+    for m in msgs:
+        if m > H.Q:
+            raise ValueError("msg outside the Finite Field")
+    n = len(keys)
+    pad = _pad_to(n)
+    sks = [K.scalar_key(k) for k in keys]
+    rs = _nonces(keys, msgs)
+    y_can, sg, s = _sign_compressed_core(
+        _limbs(rs, pad), _limbs(sks, pad),
+        _limbs([sk << 3 for sk in sks], pad),
+        _limbs([m % H.Q for m in msgs], pad))
+    r_rows = codec.assemble_compressed_batch(
+        np.asarray(y_can)[:, :n], np.asarray(sg)[:n])
+    s_rows = codec.limbs_to_bytes(np.asarray(s)[:, :n])
+    return [r_rows[i].tobytes() + s_rows[i].tobytes() for i in range(n)]
+
+
 def verify_compressed_batch(pk_bytes: list, sig_bytes: list,
                             msgs: list) -> list:
     """Wire-format batch verify: 32-byte compressed pks + 64-byte
@@ -210,10 +270,18 @@ def verify_compressed_batch(pk_bytes: list, sig_bytes: list,
 
 def verify_batch(pks: list, sigs: list, msgs: list) -> list:
     """Batch EdDSA-Poseidon verify -> [bool]. msg > Q lanes are False
-    (reference lib.rs:396-398)."""
+    (reference lib.rs:396-398).
+
+    Documented divergence: lanes whose pk or R is NOT on the curve return
+    False. The reference (lib.rs:395-412) runs the raw add formulas on any
+    (x, y) pair — off the curve those formulas are not a group, the
+    device pipeline's mod-ORDER scalar reduction is not exact there, and
+    no honest signer produces such inputs; we reject them instead
+    (pinned by tests/test_validation.py)."""
     n = len(pks)
     pad = _pad_to(n)
-    ok_range = [m <= H.Q for m in msgs]
+    ok_range = [m <= H.Q and H.is_on_curve(pk) and H.is_on_curve(sig[0])
+                for m, pk, sig in zip(msgs, pks, sigs)]
     ax, ay = _points(pks, pad)
     rx, ry = _points([sig[0] for sig in sigs], pad)
     s_s = _limbs([sig[1] for sig in sigs], pad)

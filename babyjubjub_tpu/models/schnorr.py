@@ -76,14 +76,20 @@ def sign_schnorr_batch(keys: list, msgs: list) -> list:
 
 
 def verify_schnorr_batch(pks: list, msgs: list, rs: list, ss: list) -> list:
-    """Batch Schnorr verify: s*B8 == r + h*pk (reference lib.rs:375-385)."""
+    """Batch Schnorr verify: s*B8 == r + h*pk (reference lib.rs:375-385).
+
+    Documented divergence (same contract as eddsa.verify_batch): lanes
+    whose pk or r is off the curve return False instead of running the
+    raw algebra on non-points."""
     from .eddsa import _limbs, _points, _pad_to
     n = len(pks)
     pad = _pad_to(n)
+    on_curve = [H.is_on_curve(pk) and H.is_on_curve(r)
+                for pk, r in zip(pks, rs)]
     hs = schnorr_hash_batch(pks, msgs, rs)
     sg_s = _limbs([s % H.ORDER for s in ss], pad)
     h_s = _limbs(hs, pad)  # h < Q < 2^256
     px, py = _points(pks, pad)
     rx, ry = _points(rs, pad)
     ok = np.asarray(_schnorr_verify_core(sg_s, px, py, h_s, rx, ry))[:n]
-    return [bool(v) for v in ok]
+    return [bool(v and g) for v, g in zip(ok, on_curve)]

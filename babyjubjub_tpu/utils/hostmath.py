@@ -187,6 +187,51 @@ def mul_scalar(p: tuple[int, int], n: int) -> tuple[int, int]:
     return r
 
 
+def proj_add(p: tuple[int, int, int], q: tuple[int, int, int]) -> tuple[int, int, int]:
+    """Projective add-2008-bbjlp on int triples mod Q — the exact formula
+    the reference runs (lib.rs:88-131), with no on-curve assumption."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    a = z1 * z2 % Q
+    b = a * a % Q
+    c = x1 * x2 % Q
+    d = y1 * y2 % Q
+    e = D_COEFF * c % Q * d % Q
+    f = (b - e) % Q
+    g = (b + e) % Q
+    x3 = a * f % Q * (((x1 + y1) * (x2 + y2) - c - d) % Q) % Q
+    y3 = a * g % Q * ((d - A_COEFF * c) % Q) % Q
+    z3 = f * g % Q
+    return (x3, y3, z3)
+
+
+def proj_affine(p: tuple[int, int, int]) -> tuple[int, int]:
+    """Projective -> affine; z == 0 -> (0, 0) (reference lib.rs:70-85)."""
+    x, y, z = p
+    if z % Q == 0:
+        return (0, 0)
+    zi = pow(z, Q - 2, Q)
+    return (x * zi % Q, y * zi % Q)
+
+
+def mul_scalar_any(p: tuple[int, int], n: int) -> tuple[int, int]:
+    """Reference-exact mul_scalar for ANY affine (x, y) — on-curve or not —
+    with the scalar UNREDUCED: LSB-first double-and-add over n.bit_length()
+    iterations of the raw projective formulas (lib.rs:149-164 runs the
+    algebra regardless of curve membership). For on-curve points this
+    agrees with mul_scalar(p, n % ORDER); off the curve the formulas do
+    not form a group and reduction is NOT exact, hence this model."""
+    r = (0, 1, 1)
+    e = (p[0], p[1], 1)
+    i = n
+    while i > 0:
+        if i & 1:
+            r = proj_add(r, e)
+        e = proj_add(e, e)
+        i >>= 1
+    return proj_affine(r)
+
+
 def point_neg(p: tuple[int, int]) -> tuple[int, int]:
     return (modulus(-p[0], Q), p[1])
 

@@ -159,3 +159,27 @@ def test_verify_compressed_batch():
     bad_pk = (H.Q).to_bytes(32, "little")  # y >= Q: invalid encoding
     assert eddsa.verify_compressed_batch([bad_pk, pk_b[1], pk_b[2]], sig_b,
                                          msgs) == [False, True, True]
+
+
+def test_sign_compressed_batch_bytes_parity():
+    """Batch wire-format sign/pubkey match the per-item compressors
+    (reference Signature::compress lib.rs:246-258, Point::compress
+    lib.rs:166-178) byte-for-byte, and round-trip the wire verify."""
+    from babyjubjub_tpu.utils import codec
+
+    ks = [bytes([i + 1] * 32) for i in range(3)]
+    msgs = [5, 6, H.Q]  # include the msg == Q wrap lane
+    sigs = eddsa.sign_batch(ks, msgs)
+    wire = eddsa.sign_compressed_batch(ks, msgs)
+    assert [len(w) for w in wire] == [64] * 3
+    for (r, s), w in zip(sigs, wire):
+        assert w == codec.compress_signature(r, s)
+    pk_wire = eddsa.public_compressed_batch(ks)
+    for p, pb in zip(eddsa.public_batch(ks), pk_wire):
+        assert pb == codec.compress_point(p)
+    assert eddsa.verify_compressed_batch(pk_wire, wire, msgs) == [True] * 3
+
+
+def test_sign_compressed_batch_msg_range():
+    with pytest.raises(ValueError):
+        eddsa.sign_compressed_batch([KEY], [H.Q + 1])
