@@ -85,17 +85,33 @@ def main(argv=None):
     elif args.cmd == "verify-batch":
         from babyjubjub_tpu.models import eddsa
         fh = open(args.file) if args.file else sys.stdin
-        pks, sigs, msgs = [], [], []
+        pks, sigs, msgs, parse_ok = [], [], [], []
         with fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
-                pks.append(bytes.fromhex(rec["pk"]))
-                sigs.append(bytes.fromhex(rec["sig"]))
-                msgs.append(int(rec["msg"]))
-        oks = eddsa.verify_compressed_batch(pks, sigs, msgs)
+                # malformed records become invalid lanes instead of
+                # raising, consistent with the pipeline's nothing-raises
+                # contract for bad-length byte rows
+                try:
+                    rec = json.loads(line)
+                    pks.append(bytes.fromhex(rec["pk"]))
+                    sigs.append(bytes.fromhex(rec["sig"]))
+                    msgs.append(int(rec["msg"]))
+                    parse_ok.append(True)
+                except (ValueError, KeyError, TypeError):
+                    pks.append(b"")
+                    sigs.append(b"")
+                    msgs.append(0)
+                    parse_ok.append(False)
+        if not pks:
+            # an empty batch is reported explicitly, not "all valid"
+            print(json.dumps({"count": 0, "ok": 0, "valid": [],
+                              "error": "empty input"}))
+            return 1
+        oks = [bool(v and g) for v, g in
+               zip(eddsa.verify_compressed_batch(pks, sigs, msgs), parse_ok)]
         print(json.dumps({"count": len(oks), "ok": sum(oks),
                           "valid": oks}))
         return 0 if all(oks) else 1
