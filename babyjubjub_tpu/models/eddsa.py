@@ -13,8 +13,8 @@ device runs every field/curve/Poseidon stage over the whole batch:
 
 Scalar domains: the fixed-base comb accepts full 256-bit s; the
 variable-base ladder's fused TPU route reduces its scalar mod ORDER
-(< 2^254) on device (ops/curve.py reduce_mod_order) to satisfy the
-signed-window Booth recode's s < 2^255 precondition. Reduction mod ORDER
+(< 2^254) in-register inside the kernel to satisfy the signed-window
+Booth recode's s < 2^255 precondition. Reduction mod ORDER
 is group-exact for every curve point (all point orders divide ORDER), so
 results are bit-equal to the reference's arbitrary-length LSB-first
 ladder for on-curve inputs.

@@ -201,15 +201,6 @@ def affine_eq_proj(p, s):
     return jnp.where(one_zero, alt, cross)
 
 
-def reduce_mod_order(scalars):
-    """Scalar limbs (any value < 2^256) -> scalar mod ORDER, on device.
-
-    Group-exact substitute for the reference's unreduced ladder on curve
-    points (every point order divides ORDER = 8 * SUBORDER); guards the
-    signed-window Booth kernel's s < 2^255 recode precondition."""
-    return F.fo().reduce_full(scalars)
-
-
 def _resolve_w(w):
     """Window bits: explicit argument, else CONFIG.window (BJJ_WINDOW).
     Must divide 16 so a window digit never straddles a 16-bit limb."""
@@ -233,19 +224,20 @@ def scalar_mul_windowed(aff, scalars, nbits: int = 256, w: int | None = None):
     ladder runs in one kernel on a lazy-carry field core with
     extended-coordinate formulas (3M+4S doublings, 7M window adds) and
     signed-window Booth digits (9-entry table). The signed recode needs
-    scalars < 2^255, so the fused route first reduces the scalar mod
-    ORDER on device (five conditional subtractions — ORDER > 2^253, so
-    floor((2^256-1)/ORDER) = 5). Reduction mod ORDER is group-exact for
-    every curve point (all point orders divide ORDER = 8*SUBORDER), so
-    the fused route matches the jnp fallback's true s*P for ANY s < 2^256
-    on-curve; callers no longer need to pre-reduce for correctness.
+    scalars < 2^255, so the kernel reduces the scalar mod ORDER
+    in-register first (five conditional subtractions — ORDER > 2^253;
+    measured ~3.7% cheaper than the former standalone XLA reduce stage).
+    Reduction mod ORDER is group-exact for every curve point (all point
+    orders divide ORDER = 8*SUBORDER), so the fused route matches the
+    jnp fallback's true s*P for ANY s < 2^256 on-curve; callers never
+    pre-reduce.
     """
     w = _resolve_w(w)
     x = aff[0]
     if (w == 4 and nbits == 256 and x.ndim == 2 and scalars.shape == x.shape
             and x.shape[1] % F._PALLAS_TILE == 0 and F._pallas_enabled()):
         from .pallas import fast13 as FK13
-        return FK13.scalar_mul_fused_sw13(x, aff[1], reduce_mod_order(scalars))
+        return FK13.scalar_mul_fused_sw13(x, aff[1], scalars)
     assert nbits % w == 0
     nwin = nbits // w
     tsize = 1 << w

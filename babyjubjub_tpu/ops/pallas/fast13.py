@@ -1111,7 +1111,8 @@ def scalar_mul_fused_tw13(x, y, s, tile: int = 0):
 # Modified-Booth recoding with w = 4: digit_j = nibble_j + bit(4j-1)
 # - 16*bit(4j+3), giving digits in [-8, 8] with the closed-form carry
 # (no sequential recode pass): sum_j digit_j*16^j == s exactly when
-# bit 255 of s is 0 (callers reduce mod ORDER < 2^254).
+# bit 255 of s is 0 (the kernel reduces mod ORDER < 2^254 in-register
+# before recoding, so any 256-bit input is safe).
 #
 # Wins over the unsigned kernel (scalar_mul_fused_tw13):
 #   * table entries 0..8 (9) instead of 0..15 (16): 7 build adds, not 14;
@@ -1124,16 +1125,46 @@ def scalar_mul_fused_tw13(x, y, s, tile: int = 0):
 
 TSIZE_S = 9  # magnitudes 0..8
 
+ORD16 = tuple((H.ORDER >> (16 * k)) & 0xFFFF for k in range(16))
+# floor((2^256 - 1) / ORDER) = 5 (ORDER > 2^253): five conditional
+# subtractions reduce any 256-bit scalar mod ORDER.
+_ORD_K = ((1 << 256) - 1) // H.ORDER
 
-def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, *,
+
+def _emit_reduce_order16(limbs):
+    """16-bit scalar limbs (any s < 2^256) -> s mod ORDER, in-kernel.
+
+    Group-exact for every curve point (all point orders divide
+    ORDER = 8*SUBORDER) and guarantees the Booth recode's s < 2^255
+    precondition. ~400 vector ops -- noise next to the ladder body;
+    replacing the former standalone XLA reduce stage this way bought
+    back its ~3.7%% pipeline cost (1.526 -> ~1.58 M scalar-muls/s)."""
+    for _ in range(_ORD_K):
+        borrow = jnp.zeros_like(limbs[0])
+        diff = []
+        for k in range(16):
+            sub = _u32(ORD16[k]) + borrow
+            borrow = (limbs[k] < sub).astype(_u32)
+            diff.append((limbs[k] - sub) & _u32(0xFFFF))
+        limbs = [jnp.where(borrow == 1, a, d)
+                 for a, d in zip(limbs, diff)]
+    return limbs
+
+
+def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, sred, *,
                         nwin: int = None):
-    """Signed-window ladder on the a=-1 twist. tab: (9, 4, N, tile).
+    """Signed-window ladder on the a=-1 twist. tab: (9, 4, N, tile);
+    sred: (16, tile) scratch holding the scalar reduced mod ORDER (the
+    window loop indexes limbs dynamically, so the reduced scalar lives
+    in a ref, not a traced list).
 
     nwin < NWIN processes only the TOP nwin windows (test-only reduced
-    geometry: the default-suite plumbing test runs this exact kernel with
-    a 2-window graph that XLA-CPU can compile in seconds)."""
+    geometry for the kernel-plumbing tests)."""
     if nwin is None:
         nwin = NWIN
+    for k, v in enumerate(_emit_reduce_order16(
+            [s_ref[k, :] for k in range(16)])):
+        sred[k, :] = v
     one = [jnp.full_like(x_ref[0, :], int(v)) for v in ONE_M13]
     zero = [jnp.zeros_like(x_ref[0, :]) for _ in range(N)]
 
@@ -1174,11 +1205,11 @@ def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, *,
             rx, ry, rz, _t = emit_dblE13((rx, ry, rz, None), want_t=False)
         rx, ry, rz, rt = emit_dblE13((rx, ry, rz, None), want_t=True)
         bitpos = (NWIN - 1 - j) * W
-        limb = s_ref[bitpos // 16, :]
+        limb = sred[bitpos // 16, :]
         raw = (limb >> _u32(bitpos % 16)) & _u32(15)
         hi = raw >> 3                       # bit(bitpos + 3): nibble MSB
         pb = jnp.maximum(bitpos - 1, 0)
-        lo = (s_ref[pb // 16, :] >> _u32(pb % 16)) & _u32(1)
+        lo = (sred[pb // 16, :] >> _u32(pb % 16)) & _u32(1)
         lo = jnp.where(bitpos > 0, lo, _u32(0))
         d = raw.astype(_i32) + lo.astype(_i32) - (hi.astype(_i32) << 4)
         sign = d < 0
@@ -1206,11 +1237,14 @@ def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, *,
 @functools.partial(jax.jit, static_argnames=("tile", "nwin"))
 def scalar_mul_fused_sw13(x, y, s, tile: int = 0, nwin: int = None):
     """Variable-base scalar mul, signed-window Booth ladder (production
-    route). Requires scalars < 2^255 — the production caller
-    (curve.scalar_mul_windowed) reduces mod ORDER on device first.
+    route). Accepts ANY 256-bit scalar: the kernel reduces it mod ORDER
+    in-register first (group-exact on-curve, and satisfies the Booth
+    recode's s < 2^255 precondition), so result == true s*P for every
+    curve point and s < 2^256, matching the reference's arbitrary-length
+    LSB-first ladder (lib.rs:149-164) on-curve.
 
     nwin (test-only, default all 64 windows): top-windows-only reduced
-    geometry for the default-suite plumbing test."""
+    geometry for the kernel-plumbing tests."""
     bsize = x.shape[1]
     # 9-entry table fits tile 2048 (5.9MB) but measures SLOWER than 1024
     # (1.382M vs 1.430M scalar-muls/s on v5e): the freed VMEM does not
@@ -1224,7 +1258,8 @@ def scalar_mul_fused_sw13(x, y, s, tile: int = 0, nwin: int = None):
         grid=(bsize // tile,),
         in_specs=[bs, bs, bs],
         out_specs=(bs, bs, bs),
-        scratch_shapes=[pltpu.VMEM((TSIZE_S, 4, N, tile), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((TSIZE_S, 4, N, tile), jnp.uint32),
+                        pltpu.VMEM((16, tile), jnp.uint32)],
     )(x, y, s)
 
 

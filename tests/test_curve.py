@@ -75,12 +75,16 @@ def test_fixed_base_mul():
     assert got == [H.mul_scalar(H.B8, s) for s in SCALARS]
 
 
-def test_reduce_mod_order():
+def test_reduce_full_mod_order():
+    """Full 256-bit -> mod-ORDER reduction (5 conditional subtractions),
+    the same algorithm the fused sw13 kernel runs in-register before its
+    Booth recode; validated here on the device ring over the full input
+    range incl. the k*ORDER boundaries."""
     rng = random.Random(11)
     vals = [0, 1, H.ORDER - 1, H.ORDER, H.ORDER + 1, 5 * H.ORDER,
             (1 << 256) - 1] + [rng.randrange(1 << 256) for _ in range(16)]
     got = F.array_to_ints(np.asarray(
-        jax.jit(C.reduce_mod_order)(F.ints_to_array(vals))))
+        jax.jit(F.fo().reduce_full)(F.ints_to_array(vals))))
     assert got == [v % H.ORDER for v in vals]
 
 

@@ -239,7 +239,9 @@ def test_point_kernels_interpret():
 
 def _booth_digits_top(s: int, nwin: int):
     """Booth signed digits of the TOP nwin windows, exactly as the sw13
-    kernel recodes them (raw nibble + low carry bit - 16*nibble-MSB)."""
+    kernel recodes them (raw nibble + low carry bit - 16*nibble-MSB).
+    The kernel reduces s mod ORDER in-register before recoding, so
+    callers of this model must pass s % ORDER."""
     digs = []
     for j in range(nwin):
         bitpos = (FK.NWIN - 1 - j) * FK.W
@@ -267,7 +269,7 @@ def test_ladder_sw13_kernel_tiny_default():
     want = []
     for p, n in zip(pts, scalars):
         acc = H.IDENTITY
-        for d in _booth_digits_top(n, nwin):
+        for d in _booth_digits_top(n % H.ORDER, nwin):
             for _ in range(FK.W):
                 acc = H.point_add(acc, acc)
             step = H.mul_scalar(p, abs(d))
