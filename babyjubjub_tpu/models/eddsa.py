@@ -129,11 +129,12 @@ _verify_compressed_core = jax.jit(verify_compressed_core)
 # ---------------------------------------------------------------------------
 
 def _pad_to(n: int) -> int:
-    """Pad protocol batches to the Pallas tile on accelerators: every batch
-    size <= tile shares one compiled graph, and the kernels stay eligible."""
-    if not F._pallas_enabled():
-        return n
-    t = F._PALLAS_TILE
+    """Pad protocol batches to a shape bucket: every batch size <= bucket
+    shares ONE compiled graph. Accelerators bucket to the Pallas tile
+    (kernels stay eligible); CPU buckets to multiples of 8 so the many
+    small-batch callers (tests, CLI) stop compiling a distinct pipeline
+    per exact batch size."""
+    t = F._PALLAS_TILE if F._pallas_enabled() else 8
     return ((n + t - 1) // t) * t
 
 

@@ -40,10 +40,17 @@ def op_report(batch: int = 8192) -> dict:
         [secrets.randbelow(H.Q) for _ in range(batch)]))
 
     # auto-scaled chains on accelerators (k_hi=None); short fixed on CPU
-    k = None if jax.default_backend() != "cpu" else 21
+    # (k=9 / 2 repeats: each distinct K traces+compiles its own chained
+    # graph, so long CPU chains buy noise reduction the single-core box
+    # cannot afford -- rates there are indicative, not benchmarks)
+    cpu = jax.default_backend() == "cpu"
+    k = None if not cpu else 9
+    reps = 2 if cpu else 3
     out = {}
-    out["mulmod"] = batch / chain_timer(lambda a: fq.mul(a, sb), sa, 1, k)
-    out["addmod"] = batch / chain_timer(lambda a: fq.add(a, sb), sa, 1, k)
+    out["mulmod"] = batch / chain_timer(lambda a: fq.mul(a, sb), sa, 1, k,
+                                        repeats=reps)
+    out["addmod"] = batch / chain_timer(lambda a: fq.add(a, sb), sa, 1, k,
+                                        repeats=reps)
 
     pts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER))
            for _ in range(8)]
@@ -54,11 +61,11 @@ def op_report(batch: int = 8192) -> dict:
     def addp(p):
         return C.add(p, p)
     out["point_add"] = batch / chain_timer(addp, proj, 1,
-                                           k if k else None)
+                                           k if k else None, repeats=reps)
 
     def mul_step(s):
         px, py, pz = C.scalar_mul_windowed((bx, by), s)
         return (s ^ px) & 0xFFFF
     out["scalar_mul"] = batch / chain_timer(mul_step, sa, 1,
-                                            4 if k else None)
+                                            2 if k else None, repeats=reps)
     return out

@@ -156,9 +156,22 @@ def _run_cli(capsys, *argv):
     return rc, capsys.readouterr().out
 
 
-def test_cli_report_smoke(capsys):
+def test_cli_report_smoke(capsys, monkeypatch):
+    """CLI `report` plumbing (arg parsing, batch forwarding, JSON shape).
+    op_report itself — the measurement — is exercised for real by
+    test_profiling_trace_and_report; stubbing it here avoids paying its
+    ~1 min of CPU chain-timing twice per suite run."""
+    from babyjubjub_tpu.utils import profiling
+    seen = {}
+
+    def fake_report(batch):
+        seen["batch"] = batch
+        return {"mulmod": 1.0, "scalar_mul": 2.0}
+
+    monkeypatch.setattr(profiling, "op_report", fake_report)
     rc, out = _run_cli(capsys, "report", "--batch", "8")
     assert rc == 0
+    assert seen["batch"] == 8
     rep = json.loads(out.strip().splitlines()[-1])
     assert all(v > 0 for v in rep.values())
 
