@@ -93,7 +93,14 @@ def main():
                                          "failing fast instead of hanging"}})
             return 1
 
-    import secrets
+    import random as _random
+    # Deterministic inputs: device arrays captured in jit closures are
+    # embedded in the lowered HLO as constants, so nondeterministic inputs
+    # change the HLO bytes every run and defeat the persistent compilation
+    # cache (measured: a "warm" full bench still paid 10+ min of
+    # recompiles). A fixed seed makes repeat runs byte-identical -> cache
+    # hits. Rates are unaffected (inputs were uniform either way).
+    _rng = _random.Random(0xBAB1)
     import numpy as np
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -124,12 +131,12 @@ def main():
     baseline_per_chip = 10_000_000 / 8  # BASELINE.json north star / v5e-8
 
     # ---- inputs -----------------------------------------------------------
-    base_pts = [H.mul_scalar(H.B8, secrets.randbelow(H.SUBORDER))
+    base_pts = [H.mul_scalar(H.B8, _rng.randrange(H.SUBORDER))
                 for _ in range(8)]
     pts = (base_pts * (B // 8 + 1))[:B]
     bx, by = map(jax.device_put, C.points_to_arrays(pts))
     sa = jax.device_put(F.ints_to_array(
-        [secrets.randbelow(H.SUBORDER) for _ in range(B)]))
+        [_rng.randrange(H.SUBORDER) for _ in range(B)]))
 
     # ---- headline: variable-base scalar mults/s ---------------------------
     def mul_step(s):
@@ -166,8 +173,8 @@ def main():
 
     # ---- batch EdDSA verify /s --------------------------------------------
     nk = 8
-    ks = [keys.new_key_bytes() for _ in range(nk)]
-    msgs = [secrets.randbelow(H.Q) for _ in range(nk)]
+    ks = [bytes(_rng.randrange(256) for _ in range(32)) for _ in range(nk)]
+    msgs = [_rng.randrange(H.Q) for _ in range(nk)]
     pks = eddsa.public_batch(ks)
     sigs = eddsa.sign_batch(ks, msgs)
     idx = list(range(B))
@@ -229,7 +236,7 @@ def main():
 
     # ---- sign / wire sign (criterion `sign` analogs) -----------------------
     rs = jax.device_put(F.ints_to_array(
-        [secrets.randbelow(H.SUBORDER) for _ in range(B)]))
+        [_rng.randrange(H.SUBORDER) for _ in range(B)]))
     sks = [keys.scalar_key(ks[i % nk]) for i in range(B)]
     sk_s = jax.device_put(F.ints_to_array(sks))
     sk8_s = jax.device_put(F.ints_to_array([k << 3 for k in sks]))
