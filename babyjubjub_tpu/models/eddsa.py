@@ -106,16 +106,72 @@ def public_compressed_core(sk_s):
 
 def verify_compressed_core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s):
     """Wire-format verify: batched device decompression (fixed-bound
-    Tonelli-Shanks) fused ahead of verify_core. Invalid encodings -> False."""
+    Tonelli-Shanks) fused ahead of verify_core. Invalid encodings -> False.
+
+    The two per-lane decompressions share one Fermat inversion
+    (codec_dev.decompress_pair), ~25% cheaper than two plain decompress()
+    calls."""
     from ..ops import codec_dev
-    ax, ay, pk_ok = codec_dev.decompress(pk_y, pk_sg)
-    rx, ry, r_ok = codec_dev.decompress(r_y, r_sg)
+    (ax, ay, pk_ok), (rx, ry, r_ok) = codec_dev.decompress_pair(
+        pk_y, pk_sg, r_y, r_sg)
     return verify_core(rx, ry, ax, ay, s_s, msg_s) & pk_ok & r_ok
+
+
+def verify_core_canon(rx_c, ry_c, ax_c, ay_c, s_s, msg_s):
+    """verify_core over CANONICAL-limb affine inputs: the Montgomery
+    conversion (4 mulmods) and the on-curve validation of R and A run on
+    device, so the public batch API pays zero per-lane host bigint work.
+    Off-curve lanes -> False (the framework's documented divergence from
+    reference lib.rs:395-412, which runs the raw formulas on any pair)."""
+    rx, ry = fq.to_mont(rx_c), fq.to_mont(ry_c)
+    ax, ay = fq.to_mont(ax_c), fq.to_mont(ay_c)
+    ok = C.on_curve(rx, ry) & C.on_curve(ax, ay)
+    return verify_core(rx, ry, ax, ay, s_s, msg_s) & ok
+
+
+def sign_core_canon(r_s, sk_s, sk8_s, msg_s):
+    """sign_core with the R output converted to canonical limbs on device
+    (host-side from-Montgomery was an O(B) python bigint pass)."""
+    rx, ry, s = sign_core(r_s, sk_s, sk8_s, msg_s)
+    return fq.from_mont(rx), fq.from_mont(ry), s
+
+
+def sign_core_nonced(kh_s, sk_s, sk8_s, msg_raw_s):
+    """Fully-fused batch sign: deterministic nonce derivation (BLAKE-512,
+    ops/blake_dev.py) runs ON DEVICE ahead of the sign pipeline, so the
+    host never hashes per message. kh_s: limbs of the key-hash second
+    half h[32:64] (reference lib.rs:316-328 hashes h[32:64] || msg_le);
+    msg_raw_s: RAW message limbs (<= Q — the nonce hashes the unreduced
+    bytes, Poseidon gets msg mod Q). Returns canonical (rx, ry, s)."""
+    from ..ops import blake_dev
+    r_s = blake_dev.nonce_mod_l(kh_s, msg_raw_s)
+    msg_s = fq.reduce_full(msg_raw_s)     # msg <= Q -> msg mod Q
+    return sign_core_canon(r_s, sk_s, sk8_s, msg_s)
+
+
+def sign_compressed_core_nonced(kh_s, sk_s, sk8_s, msg_raw_s):
+    """sign_core_nonced with device point compression fused after it."""
+    from ..ops import blake_dev, codec_dev
+    r_s = blake_dev.nonce_mod_l(kh_s, msg_raw_s)
+    msg_s = fq.reduce_full(msg_raw_s)
+    rx, ry, s = sign_core(r_s, sk_s, sk8_s, msg_s)
+    y_can, sg = codec_dev.compress(rx, ry)
+    return y_can, sg, s
+
+
+def public_core_canon(sk_s):
+    ax, ay = public_core(sk_s)
+    return fq.from_mont(ax), fq.from_mont(ay)
 
 
 _sign_core = jax.jit(sign_core)
 _public_core = jax.jit(public_core)
 _verify_core = jax.jit(verify_core)
+_sign_core_canon = jax.jit(sign_core_canon)
+_sign_core_nonced = jax.jit(sign_core_nonced)
+_sign_compressed_core_nonced = jax.jit(sign_compressed_core_nonced)
+_public_core_canon = jax.jit(public_core_canon)
+_verify_core_canon = jax.jit(verify_core_canon)
 _sign_compressed_core = jax.jit(sign_compressed_core)
 _public_compressed_core = jax.jit(public_compressed_core)
 # Module-level jit: the cache keys on shapes only. Defining this inside
@@ -145,22 +201,36 @@ def _limbs(xs, pad: int | None = None) -> np.ndarray:
     return arr
 
 
-def _points(pts, pad: int | None = None):
-    xs, ys = C.points_to_arrays(pts)
+def _points(pts, pad: int | None = None, mont: bool = True):
+    xs, ys = C.points_to_arrays(pts, mont=mont)
     if pad is not None and pad != xs.shape[1]:
         xs = np.pad(xs, ((0, 0), (0, pad - xs.shape[1])))
         ys = np.pad(ys, ((0, 0), (0, pad - ys.shape[1])))
     return xs, ys
 
 
+def _key_halves(keys: list, pad: int | None = None) -> np.ndarray:
+    """(16, N) limbs of h[32:64] per key (the nonce-salt half of the
+    BLAKE key digest) — the host half of device nonce derivation."""
+    hs = K.blake_hashes(keys)
+    rows = np.frombuffer(b"".join(h[32:64] for h in hs),
+                         dtype=np.uint8).reshape(len(keys), 32)
+    kh = codec.bytes_to_limbs(rows)
+    if pad is not None and pad != kh.shape[1]:
+        kh = np.pad(kh, ((0, 0), (0, pad - kh.shape[1])))
+    return kh
+
+
 def _nonces(keys: list, msgs: list) -> list:
-    """Deterministic per-message nonce r (reference lib.rs:316-328)."""
-    out = []
-    hs = [K.blake_hash(k) for k in keys]
+    """Deterministic per-message nonce r (reference lib.rs:316-328).
+
+    Both hashing passes are batched (native C++ or vectorized numpy
+    BLAKE-512): key digests via the shared cache-filling batch path,
+    per-message nonce digests in one digest_batch call."""
+    hs = K.blake_hashes(keys)
     bufs = [h[32:64] + int(m).to_bytes(32, "little") for h, m in zip(hs, msgs)]
-    for d in blake512.digest_batch(bufs):
-        out.append(codec.bytes_le_to_int(d) % H.SUBORDER)
-    return out
+    return [codec.bytes_le_to_int(d) % H.SUBORDER
+            for d in blake512.digest_batch(bufs)]
 
 
 # ---------------------------------------------------------------------------
@@ -170,9 +240,10 @@ def _nonces(keys: list, msgs: list) -> list:
 def public_batch(keys: list) -> list:
     """[(x, y)] public keys for a list of 32-byte private keys."""
     n = len(keys)
-    sks = [K.scalar_key(k) for k in keys]
-    ax, ay = _public_core(_limbs(sks, _pad_to(n)))
-    return C.arrays_to_points((np.asarray(ax)[:, :n], np.asarray(ay)[:, :n]))
+    sks = K.scalar_keys(keys)
+    ax, ay = _public_core_canon(_limbs(sks, _pad_to(n)))
+    return C.arrays_to_points((np.asarray(ax)[:, :n], np.asarray(ay)[:, :n]),
+                              mont=False)
 
 
 def sign_batch(keys: list, msgs: list) -> list:
@@ -180,20 +251,33 @@ def sign_batch(keys: list, msgs: list) -> list:
 
     Raises ValueError when any msg > Q (reference lib.rs:309-311).
     """
+    return sign_batch_async(keys, msgs)()
+
+
+def sign_batch_async(keys: list, msgs: list):
+    """Non-blocking sign_batch: returns ``finish() -> [((rx, ry), s)]``.
+    Input validation raises immediately. Nonce derivation (BLAKE-512)
+    runs ON DEVICE inside the fused sign graph — the host only hashes
+    each distinct KEY once (cached), marshals limbs, and dispatches, so
+    a serving loop overlaps that with the previous batch's compute."""
     for m in msgs:
         if m > H.Q:
             raise ValueError("msg outside the Finite Field")
     n = len(keys)
     pad = _pad_to(n)
-    sks = [K.scalar_key(k) for k in keys]
-    rs = _nonces(keys, msgs)
-    rx, ry, s = _sign_core(
-        _limbs(rs, pad), _limbs(sks, pad),
+    sks = K.scalar_keys(keys)
+    rx, ry, s = _sign_core_nonced(
+        _key_halves(keys, pad), _limbs(sks, pad),
         _limbs([sk << 3 for sk in sks], pad),
-        _limbs([m % H.Q for m in msgs], pad))
-    r_pts = C.arrays_to_points((np.asarray(rx)[:, :n], np.asarray(ry)[:, :n]))
-    s_ints = F.array_to_ints(np.asarray(s)[:, :n])
-    return list(zip(r_pts, s_ints))
+        _limbs(msgs, pad))
+
+    def finish() -> list:
+        r_pts = C.arrays_to_points(
+            (np.asarray(rx)[:, :n], np.asarray(ry)[:, :n]), mont=False)
+        s_ints = F.array_to_ints(np.asarray(s)[:, :n])
+        return list(zip(r_pts, s_ints))
+
+    return finish
 
 
 def public_compressed_batch(keys: list) -> list:
@@ -201,7 +285,7 @@ def public_compressed_batch(keys: list) -> list:
     byte-identical to per-item Point::compress (lib.rs:166-178), with the
     compression (from-Montgomery + sign-bit select) fused on device."""
     n = len(keys)
-    sks = [K.scalar_key(k) for k in keys]
+    sks = K.scalar_keys(keys)
     y_can, sg = _public_compressed_core(_limbs(sks, _pad_to(n)))
     rows = codec.assemble_compressed_batch(
         np.asarray(y_can)[:, :n], np.asarray(sg)[:n])
@@ -219,12 +303,11 @@ def sign_compressed_batch(keys: list, msgs: list) -> list:
             raise ValueError("msg outside the Finite Field")
     n = len(keys)
     pad = _pad_to(n)
-    sks = [K.scalar_key(k) for k in keys]
-    rs = _nonces(keys, msgs)
-    y_can, sg, s = _sign_compressed_core(
-        _limbs(rs, pad), _limbs(sks, pad),
+    sks = K.scalar_keys(keys)
+    y_can, sg, s = _sign_compressed_core_nonced(
+        _key_halves(keys, pad), _limbs(sks, pad),
         _limbs([sk << 3 for sk in sks], pad),
-        _limbs([m % H.Q for m in msgs], pad))
+        _limbs(msgs, pad))
     r_rows = codec.assemble_compressed_batch(
         np.asarray(y_can)[:, :n], np.asarray(sg)[:n])
     s_rows = codec.limbs_to_bytes(np.asarray(s)[:, :n])
@@ -240,6 +323,12 @@ def verify_compressed_batch(pk_bytes: list, sig_bytes: list,
     the reference's [u8;32]/[u8;64] typed parameters), or msg > Q are
     False; nothing raises — the wire-facing analog of the reference's
     decompress-then-verify flow (lib.rs:192-224, 260-268, 395-412)."""
+    return verify_compressed_batch_async(pk_bytes, sig_bytes, msgs)()
+
+
+def verify_compressed_batch_async(pk_bytes: list, sig_bytes: list,
+                                  msgs: list):
+    """Non-blocking verify_compressed_batch: ``finish() -> [bool]``."""
     import jax.numpy as jnp
 
     n = len(pk_bytes)
@@ -264,9 +353,13 @@ def verify_compressed_batch(pk_bytes: list, sig_bytes: list,
     s_s = _limbs(s_ints, pad)
     msg_s = _limbs([m % H.Q for m in msgs], pad)
 
-    ok = np.asarray(
-        _verify_compressed_core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s))[:n]
-    return [bool(a and b) for a, b in zip(ok, ok_range)]
+    ok_dev = _verify_compressed_core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s)
+
+    def finish() -> list:
+        ok = np.asarray(ok_dev)[:n]
+        return [bool(a and b) for a, b in zip(ok, ok_range)]
+
+    return finish
 
 
 def verify_batch(pks: list, sigs: list, msgs: list) -> list:
@@ -278,14 +371,30 @@ def verify_batch(pks: list, sigs: list, msgs: list) -> list:
     (x, y) pair — off the curve those formulas are not a group, the
     device pipeline's mod-ORDER scalar reduction is not exact there, and
     no honest signer produces such inputs; we reject them instead
-    (pinned by tests/test_validation.py)."""
+    (pinned by tests/test_validation.py). The on-curve checks and the
+    Montgomery conversions run on DEVICE (verify_core_canon) — the host
+    does only vectorized limb marshalling, no per-lane bigint work."""
+    return verify_batch_async(pks, sigs, msgs)()
+
+
+def verify_batch_async(pks: list, sigs: list, msgs: list):
+    """Non-blocking verify_batch: marshals inputs, dispatches the device
+    pipeline (JAX dispatch is asynchronous), and returns a zero-arg
+    ``finish() -> [bool]``. A serving loop overlaps host marshalling of
+    batch i+1 with device compute of batch i — steady-state throughput is
+    max(host, device) instead of their sum plus a relay round trip per
+    batch (bench.py reports this as the pipelined e2e rate)."""
     n = len(pks)
     pad = _pad_to(n)
-    ok_range = [m <= H.Q and H.is_on_curve(pk) and H.is_on_curve(sig[0])
-                for m, pk, sig in zip(msgs, pks, sigs)]
-    ax, ay = _points(pks, pad)
-    rx, ry = _points([sig[0] for sig in sigs], pad)
+    ok_range = [m <= H.Q for m in msgs]
+    ax, ay = _points(pks, pad, mont=False)
+    rx, ry = _points([sig[0] for sig in sigs], pad, mont=False)
     s_s = _limbs([sig[1] for sig in sigs], pad)
     msg_s = _limbs([m % H.Q for m in msgs], pad)
-    ok = np.asarray(_verify_core(rx, ry, ax, ay, s_s, msg_s))[:n]
-    return [bool(a and b) for a, b in zip(ok, ok_range)]
+    ok_dev = _verify_core_canon(rx, ry, ax, ay, s_s, msg_s)
+
+    def finish() -> list:
+        ok = np.asarray(ok_dev)[:n]
+        return [bool(a and b) for a, b in zip(ok, ok_range)]
+
+    return finish

@@ -30,17 +30,34 @@ def new_key_bytes() -> bytes:
     return secrets.token_bytes(32)
 
 
-import functools
+# key-digest cache: batch signing hashes the same key once regardless of
+# how many messages it signs (the reference recomputes it 3x per
+# signature, lib.rs:316, 330, 335). A plain dict (not lru_cache) so the
+# batch path can fill it from one vectorized digest_batch call.
+_HASH_CACHE: dict = {}
+_HASH_CACHE_MAX = 65536
 
 
-@functools.lru_cache(maxsize=65536)
 def blake_hash(key: bytes) -> bytes:
-    """64-byte BLAKE-512 of the raw key (reference `blh`, lib.rs:226-237).
+    """64-byte BLAKE-512 of the raw key (reference `blh`, lib.rs:226-237)."""
+    h = _HASH_CACHE.get(key)
+    if h is None:
+        h = blake512.digest(key)
+        if len(_HASH_CACHE) >= _HASH_CACHE_MAX:
+            _HASH_CACHE.clear()
+        _HASH_CACHE[key] = h
+    return h
 
-    Cached: batch signing hashes the same key once regardless of how many
-    messages it signs (the reference recomputes it 3x per signature,
-    lib.rs:316, 330, 335)."""
-    return blake512.digest(key)
+
+def blake_hashes(keys: list) -> list:
+    """Batch key digests: uncached keys go through ONE digest_batch call
+    (native C++ or vectorized numpy) instead of a per-key python hash."""
+    fresh = list({k: None for k in keys if k not in _HASH_CACHE})
+    if fresh:
+        if len(_HASH_CACHE) + len(fresh) > _HASH_CACHE_MAX:
+            _HASH_CACHE.clear()
+        _HASH_CACHE.update(zip(fresh, blake512.digest_batch(fresh)))
+    return [_HASH_CACHE[k] for k in keys]
 
 
 def prune_to_scalar(h32: bytes) -> int:
@@ -55,3 +72,8 @@ def prune_to_scalar(h32: bytes) -> int:
 
 def scalar_key(key: bytes) -> int:
     return prune_to_scalar(blake_hash(key)[:32])
+
+
+def scalar_keys(keys: list) -> list:
+    """Batch scalar_key: one vectorized hashing pass over uncached keys."""
+    return [prune_to_scalar(h[:32]) for h in blake_hashes(keys)]

@@ -50,8 +50,17 @@ def _const(c: np.ndarray, ndim: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def points_to_arrays(pts, mont: bool = True):
-    """[(x, y), ...] python-int affine points -> (X, Y) limb arrays."""
-    enc = (F.FQ_SPEC.to_mont_int if mont else (lambda v: v))
+    """[(x, y), ...] python-int affine points -> (X, Y) limb arrays.
+
+    mont=False emits canonical limbs (device converts; avoids the O(B)
+    host bigint Montgomery pass); out-of-range coords are still reduced
+    mod Q host-side so semantics match the mont=True path for any int.
+    """
+    if mont:
+        enc = F.FQ_SPEC.to_mont_int
+    else:
+        q = F.FQ_SPEC.p
+        enc = (lambda v: v if 0 <= v < q else v % q)
     xs = F.ints_to_array([enc(p[0]) for p in pts])
     ys = F.ints_to_array([enc(p[1]) for p in pts])
     return xs, ys
@@ -366,8 +375,27 @@ def fixed_base_mul_affine(scalars, base=H.B8, w: int | None = None,
 
 
 # ---------------------------------------------------------------------------
-# Equality (affine Montgomery batches)
+# Equality / membership (affine Montgomery batches)
 # ---------------------------------------------------------------------------
 
 def points_equal(p, q):
     return fq.eq(p[0], q[0]) & fq.eq(p[1], q[1])
+
+
+def on_curve(x_m, y_m):
+    """Batched curve membership: a*x^2 + y^2 == 1 + d*x^2*y^2 (Montgomery).
+
+    Device analog of the host oracle hostmath.is_on_curve. The reference
+    has no such check (lib.rs:395-412 runs the raw add formulas on any
+    (x, y) pair); this framework's documented divergence rejects off-curve
+    verify inputs, and at 4 field muls per lane — noise next to a ladder —
+    the validation runs on device instead of as a per-lane host bigint
+    check.
+    """
+    x2 = fq.sq(x_m)
+    y2 = fq.sq(y_m)
+    amont = _const(_A_M, x_m.ndim) + jnp.zeros_like(x_m)
+    dmont = _const(_D_M, x_m.ndim) + jnp.zeros_like(x_m)
+    lhs = fq.add(fq.mul(amont, x2), y2)
+    rhs = fq.add(fq.one_mont(x_m.shape[1:]), fq.mul(fq.mul(dmont, x2), y2))
+    return fq.eq(lhs, rhs)

@@ -56,16 +56,32 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_array(xs, batch_shape=None) -> np.ndarray:
-    """List of python ints -> (16, N) uint32 limb array."""
-    out = np.stack([int_to_limbs(x) for x in xs], axis=-1)
+    """List of python ints (< 2^256) -> (16, N) uint32 limb array.
+
+    Vectorized: one C-level ``int.to_bytes`` per element, then a single
+    numpy byte->limb pass over the whole batch (the per-int Python limb
+    loop was an O(B) host tax on every protocol call).
+    """
+    xs = xs if isinstance(xs, (list, tuple)) else list(xs)
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    rows = np.frombuffer(buf, dtype=np.uint8).reshape(len(xs), 32)
+    out = (rows[:, 0::2].astype(np.uint32)
+           | (rows[:, 1::2].astype(np.uint32) << 8)).T.copy()
     if batch_shape is not None:
         out = out.reshape((NLIMB,) + tuple(batch_shape))
     return out
 
 
 def array_to_ints(arr) -> list:
-    arr = np.asarray(arr).reshape(NLIMB, -1)
-    return [limbs_to_int(arr[:, i]) for i in range(arr.shape[1])]
+    """(16, N) canonical 16-bit limbs -> list of python ints (vectorized:
+    one numpy limb->byte pass, then C-level ``int.from_bytes`` per row)."""
+    arr = np.asarray(arr, dtype=np.uint32).reshape(NLIMB, -1).T  # (N, 16)
+    rows = np.empty((arr.shape[0], 32), dtype=np.uint8)
+    rows[:, 0::2] = arr & 0xFF
+    rows[:, 1::2] = (arr >> 8) & 0xFF
+    buf = rows.tobytes()
+    return [int.from_bytes(buf[32 * i:32 * (i + 1)], "little")
+            for i in range(arr.shape[0])]
 
 
 # ---------------------------------------------------------------------------

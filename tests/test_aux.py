@@ -239,3 +239,60 @@ def _cpu_env():
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache"
     return env
+
+
+def test_blake_numpy_batch_parity():
+    """The vectorized numpy BLAKE-512 is bit-exact vs the pure-python
+    reference implementation across block-boundary lengths."""
+    import random
+    from babyjubjub_tpu.utils import blake512 as B
+    rng = random.Random(7)
+    for ln in (0, 1, 31, 32, 55, 64, 111, 112, 127, 128, 129, 239, 256):
+        msgs = [bytes(rng.randrange(256) for _ in range(ln))
+                for _ in range(9)]
+        assert B._digest_batch_np(msgs) == [B._digest_py(m) for m in msgs]
+
+
+def test_digest_batch_dispatch_parity():
+    """digest_batch output is backend-independent (native / numpy / py)."""
+    import random
+    from babyjubjub_tpu.utils import blake512 as B
+    rng = random.Random(8)
+    msgs = [bytes(rng.randrange(256) for _ in range(64)) for _ in range(16)]
+    expected = [B._digest_py(m) for m in msgs]
+    assert B.digest_batch(msgs) == expected
+    # mixed lengths fall back to per-message dispatch
+    mixed = msgs[:2] + [b"xyz"]
+    assert B.digest_batch(mixed) == [B._digest_py(m) for m in mixed]
+
+
+def test_scalar_keys_batch_matches_single():
+    import secrets
+    from babyjubjub_tpu.models import keys as K
+    ks = [secrets.token_bytes(32) for _ in range(12)]
+    K._HASH_CACHE.clear()
+    batch = K.scalar_keys(ks)
+    K._HASH_CACHE.clear()
+    assert batch == [K.scalar_key(k) for k in ks]
+
+
+def test_device_nonce_parity():
+    """ops/blake_dev nonce derivation is bit-exact vs the host oracle
+    blake512(h[32:64] || msg_le_32) mod SUBORDER, including msg == Q."""
+    import random
+    import numpy as np
+    import jax
+    from babyjubjub_tpu.ops import blake_dev as BD, field as F
+    from babyjubjub_tpu.utils import blake512 as B, hostmath as H, codec
+    rng = random.Random(42)
+    n = 8
+    khs = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(n)]
+    msgs = [rng.randrange(H.Q + 1) for _ in range(n)]
+    msgs[0] = H.Q
+    ref = [codec.bytes_le_to_int(
+        B._digest_py(kh + int(m).to_bytes(32, "little"))) % H.SUBORDER
+        for kh, m in zip(khs, msgs)]
+    kh_rows = np.frombuffer(b"".join(khs), dtype=np.uint8).reshape(n, 32)
+    r = jax.jit(BD.nonce_mod_l)(codec.bytes_to_limbs(kh_rows),
+                                F.ints_to_array(msgs))
+    assert F.array_to_ints(np.asarray(r)) == ref

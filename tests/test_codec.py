@@ -91,3 +91,48 @@ def test_device_batch_invalid_lane():
 def jnp_arr(x):
     import jax.numpy as jnp
     return jnp.asarray(x)
+
+
+def test_decompress_pair_matches_single():
+    """decompress_pair (shared-inversion wire path) must be lane-exact vs
+    two plain decompress() calls, including invalid lanes: bad y-range,
+    non-residue x^2, and the x == 0 identity-point rejection."""
+    pts = [H.mul_scalar(H.B8, 7 + 13 * i) for i in range(4)]
+    good_rows = [np.frombuffer(codec.compress_point(p), dtype=np.uint8)
+                 for p in pts]
+    # y >= Q lane and a non-residue lane
+    bad_y = np.frombuffer(int(H.Q).to_bytes(32, "little"), dtype=np.uint8)
+    y = 1
+    while True:
+        try:
+            codec.decompress_point(int(y).to_bytes(32, "little"))
+        except ValueError:
+            break
+        y += 1
+    bad_x2 = np.frombuffer(int(y).to_bytes(32, "little"), dtype=np.uint8)
+    # x == 0: y = 1 encodes the identity, rejected via the x^2 == 0 rule
+    ident = np.frombuffer(int(1).to_bytes(32, "little"), dtype=np.uint8)
+
+    rows_a = np.stack([good_rows[0], bad_y, good_rows[1], ident])
+    rows_b = np.stack([bad_x2, good_rows[2], good_rows[3], good_rows[0]])
+    ya, sa = codec.split_compressed_batch(rows_a)
+    yb, sb = codec.split_compressed_batch(rows_b)
+    ya, sa, yb, sb = map(jnp_arr, (ya, sa, yb, sb))
+
+    (xa, yam, va), (xb, ybm, vb) = jax.jit(codec_dev.decompress_pair)(
+        ya, sa, yb, sb)
+    xa1, ya1, va1 = jax.jit(codec_dev.decompress)(ya, sa)
+    xb1, yb1, vb1 = jax.jit(codec_dev.decompress)(yb, sb)
+
+    assert list(np.asarray(va)) == list(np.asarray(va1)) == [True, False,
+                                                             True, False]
+    assert list(np.asarray(vb)) == list(np.asarray(vb1)) == [False, True,
+                                                             True, True]
+    # x/y parity on VALID lanes only (invalid-lane coords are masked garbage)
+    for got, ref, valid in ((xa, xa1, va1), (xb, xb1, vb1)):
+        g, r = np.asarray(got), np.asarray(ref)
+        for i in range(4):
+            if np.asarray(valid)[i]:
+                assert (g[:, i] == r[:, i]).all()
+    assert (np.asarray(yam) == np.asarray(ya1)).all()
+    assert (np.asarray(ybm) == np.asarray(yb1)).all()
