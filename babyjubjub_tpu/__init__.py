@@ -22,6 +22,9 @@ from dataclasses import dataclass
 from .utils import hostmath as _H
 from .utils import codec as _codec
 from .utils import config as config  # applies env-driven settings on import
+from .utils import cachefix as _cachefix
+
+_cachefix.apply()  # deterministic Mosaic-kernel cache keys (see module doc)
 from .models import keys as _keys, eddsa as _eddsa, schnorr as _schnorr
 
 # Public constants (reference lib.rs:28-60)

@@ -164,6 +164,50 @@ def public_core_canon(sk_s):
     return fq.from_mont(ax), fq.from_mont(ay)
 
 
+# Packed-transfer cores: the public batch APIs ship ONE uint8 array per
+# call (32-byte LE rows, transposed) and unpack to limbs on device —
+# half the bytes of u32 limb arrays and a single H2D transfer instead of
+# four-to-six. Through the relayed TPU link (and PCIe generally) the
+# transfer, not compute, bounds public-API latency at large B.
+
+def verify_core_packed(packed):
+    """packed: (192, B) uint8 = rx|ry|ax|ay|s|msg byte rows. -> bool (B,)."""
+    u = F.unpack_rows_dev
+    return verify_core_canon(u(packed[0:32]), u(packed[32:64]),
+                             u(packed[64:96]), u(packed[96:128]),
+                             u(packed[128:160]), u(packed[160:192]))
+
+
+def sign_core_packed(packed):
+    """packed: (128, B) uint8 = kh|sk|sk8|msg_raw byte rows.
+    Returns (96, B) uint8 = rx|ry|s canonical byte rows."""
+    u = F.unpack_rows_dev
+    rx, ry, s = sign_core_nonced(u(packed[0:32]), u(packed[32:64]),
+                                 u(packed[64:96]), u(packed[96:128]))
+    p = F.pack_limbs_dev
+    return jnp.concatenate([p(rx), p(ry), p(s)], axis=0)
+
+
+def sign_compressed_core_packed(packed):
+    """packed as sign_core_packed. Returns ((64, B) uint8 = R_y|s byte
+    rows, (B,) bool sign bits) — the device half of the 64-byte wire
+    signature."""
+    u = F.unpack_rows_dev
+    y_can, sg, s = sign_compressed_core_nonced(
+        u(packed[0:32]), u(packed[32:64]), u(packed[64:96]),
+        u(packed[96:128]))
+    p = F.pack_limbs_dev
+    return jnp.concatenate([p(y_can), p(s)], axis=0), sg
+
+
+def verify_compressed_core_packed(packed, pk_sg, r_sg):
+    """packed: (128, B) uint8 = pk_y|r_y|s|msg byte rows (sign bits
+    pre-stripped on host); pk_sg/r_sg: (B,) bool."""
+    u = F.unpack_rows_dev
+    return verify_compressed_core(u(packed[0:32]), pk_sg, u(packed[32:64]),
+                                  r_sg, u(packed[64:96]), u(packed[96:128]))
+
+
 _sign_core = jax.jit(sign_core)
 _public_core = jax.jit(public_core)
 _verify_core = jax.jit(verify_core)
@@ -172,6 +216,10 @@ _sign_core_nonced = jax.jit(sign_core_nonced)
 _sign_compressed_core_nonced = jax.jit(sign_compressed_core_nonced)
 _public_core_canon = jax.jit(public_core_canon)
 _verify_core_canon = jax.jit(verify_core_canon)
+_verify_core_packed = jax.jit(verify_core_packed)
+_sign_core_packed = jax.jit(sign_core_packed)
+_sign_compressed_core_packed = jax.jit(sign_compressed_core_packed)
+_verify_compressed_core_packed = jax.jit(verify_compressed_core_packed)
 _sign_compressed_core = jax.jit(sign_compressed_core)
 _public_compressed_core = jax.jit(public_compressed_core)
 # Module-level jit: the cache keys on shapes only. Defining this inside
@@ -209,16 +257,27 @@ def _points(pts, pad: int | None = None, mont: bool = True):
     return xs, ys
 
 
-def _key_halves(keys: list, pad: int | None = None) -> np.ndarray:
-    """(16, N) limbs of h[32:64] per key (the nonce-salt half of the
-    BLAKE key digest) — the host half of device nonce derivation."""
+def _key_half_rows(keys: list) -> np.ndarray:
+    """(N, 32) uint8 byte rows of h[32:64] per key (the nonce-salt half
+    of the BLAKE key digest) — the host half of device nonce derivation."""
     hs = K.blake_hashes(keys)
-    rows = np.frombuffer(b"".join(h[32:64] for h in hs),
+    return np.frombuffer(b"".join(h[32:64] for h in hs),
                          dtype=np.uint8).reshape(len(keys), 32)
-    kh = codec.bytes_to_limbs(rows)
-    if pad is not None and pad != kh.shape[1]:
-        kh = np.pad(kh, ((0, 0), (0, pad - kh.shape[1])))
-    return kh
+
+
+def _packed(groups: list, n: int, pad: int) -> np.ndarray:
+    """[(N, 32) u8 row arrays] -> one contiguous (32*k, pad) u8 transfer."""
+    rows = np.concatenate(groups, axis=1)
+    if pad != n:
+        rows = np.pad(rows, ((0, pad - n), (0, 0)))
+    return np.ascontiguousarray(rows.T)
+
+
+def _coord_rows(vals: list) -> np.ndarray:
+    """Field-coordinate ints -> (N, 32) byte rows, reducing mod Q only
+    when out of range (semantics match the Montgomery host path)."""
+    q = H.Q
+    return F.ints_to_byte_rows([v if 0 <= v < q else v % q for v in vals])
 
 
 def _nonces(keys: list, msgs: list) -> list:
@@ -266,16 +325,17 @@ def sign_batch_async(keys: list, msgs: list):
     n = len(keys)
     pad = _pad_to(n)
     sks = K.scalar_keys(keys)
-    rx, ry, s = _sign_core_nonced(
-        _key_halves(keys, pad), _limbs(sks, pad),
-        _limbs([sk << 3 for sk in sks], pad),
-        _limbs(msgs, pad))
+    out = _sign_core_packed(_packed(
+        [_key_half_rows(keys), F.ints_to_byte_rows(sks),
+         F.ints_to_byte_rows([sk << 3 for sk in sks]),
+         F.ints_to_byte_rows(msgs)], n, pad))
 
     def finish() -> list:
-        r_pts = C.arrays_to_points(
-            (np.asarray(rx)[:, :n], np.asarray(ry)[:, :n]), mont=False)
-        s_ints = F.array_to_ints(np.asarray(s)[:, :n])
-        return list(zip(r_pts, s_ints))
+        arr = np.asarray(out)[:, :n]                      # (96, n) u8
+        rxi = F.byte_rows_to_ints(arr[0:32].T)
+        ryi = F.byte_rows_to_ints(arr[32:64].T)
+        s_ints = F.byte_rows_to_ints(arr[64:96].T)
+        return list(zip(zip(rxi, ryi), s_ints))
 
     return finish
 
@@ -304,13 +364,14 @@ def sign_compressed_batch(keys: list, msgs: list) -> list:
     n = len(keys)
     pad = _pad_to(n)
     sks = K.scalar_keys(keys)
-    y_can, sg, s = _sign_compressed_core_nonced(
-        _key_halves(keys, pad), _limbs(sks, pad),
-        _limbs([sk << 3 for sk in sks], pad),
-        _limbs(msgs, pad))
-    r_rows = codec.assemble_compressed_batch(
-        np.asarray(y_can)[:, :n], np.asarray(sg)[:n])
-    s_rows = codec.limbs_to_bytes(np.asarray(s)[:, :n])
+    out, sg = _sign_compressed_core_packed(_packed(
+        [_key_half_rows(keys), F.ints_to_byte_rows(sks),
+         F.ints_to_byte_rows([sk << 3 for sk in sks]),
+         F.ints_to_byte_rows(msgs)], n, pad))
+    arr = np.asarray(out)[:, :n]                           # (64, n) u8
+    r_rows = np.ascontiguousarray(arr[0:32].T)             # (n, 32)
+    r_rows[:, 31] |= (np.asarray(sg)[:n].astype(np.uint8) << 7)
+    s_rows = np.ascontiguousarray(arr[32:64].T)
     return [r_rows[i].tobytes() + s_rows[i].tobytes() for i in range(n)]
 
 
@@ -329,8 +390,6 @@ def verify_compressed_batch(pk_bytes: list, sig_bytes: list,
 def verify_compressed_batch_async(pk_bytes: list, sig_bytes: list,
                                   msgs: list):
     """Non-blocking verify_compressed_batch: ``finish() -> [bool]``."""
-    import jax.numpy as jnp
-
     n = len(pk_bytes)
     pad = _pad_to(n)
     ok_len = [len(p) == 32 and len(s) == 64
@@ -338,22 +397,25 @@ def verify_compressed_batch_async(pk_bytes: list, sig_bytes: list,
     pk_bytes = [p if g else b"\x00" * 32 for p, g in zip(pk_bytes, ok_len)]
     sig_bytes = [s if g else b"\x00" * 64 for s, g in zip(sig_bytes, ok_len)]
 
-    def _split(rows32):
-        arr = np.frombuffer(b"".join(rows32), dtype=np.uint8).reshape(n, 32)
-        y, sg = codec.split_compressed_batch(arr)
+    def _strip(rows32: list):
+        """32-byte strings -> ((n, 32) u8 rows sans sign bit, (pad,) bool)."""
+        arr = np.frombuffer(b"".join(rows32),
+                            dtype=np.uint8).reshape(n, 32).copy()
+        sg = (arr[:, 31] & 0x80) != 0
+        arr[:, 31] &= 0x7F
         if pad != n:
-            y = np.pad(y, ((0, 0), (0, pad - n)))
             sg = np.pad(sg, (0, pad - n))
-        return jnp.asarray(y), jnp.asarray(sg)
+        return arr, sg
 
-    pk_y, pk_sg = _split(pk_bytes)
-    r_y, r_sg = _split([s[:32] for s in sig_bytes])
-    s_ints = [codec.bytes_le_to_int(s[32:]) for s in sig_bytes]
+    pk_rows, pk_sg = _strip(pk_bytes)
+    r_rows, r_sg = _strip([s[:32] for s in sig_bytes])
+    s_rows = np.frombuffer(b"".join(s[32:] for s in sig_bytes),
+                           dtype=np.uint8).reshape(n, 32)
     ok_range = [m <= H.Q and g for m, g in zip(msgs, ok_len)]
-    s_s = _limbs(s_ints, pad)
-    msg_s = _limbs([m % H.Q for m in msgs], pad)
-
-    ok_dev = _verify_compressed_core(pk_y, pk_sg, r_y, r_sg, s_s, msg_s)
+    packed = _packed(
+        [pk_rows, r_rows, s_rows,
+         F.ints_to_byte_rows([m % H.Q for m in msgs])], n, pad)
+    ok_dev = _verify_compressed_core_packed(packed, pk_sg, r_sg)
 
     def finish() -> list:
         ok = np.asarray(ok_dev)[:n]
@@ -387,11 +449,13 @@ def verify_batch_async(pks: list, sigs: list, msgs: list):
     n = len(pks)
     pad = _pad_to(n)
     ok_range = [m <= H.Q for m in msgs]
-    ax, ay = _points(pks, pad, mont=False)
-    rx, ry = _points([sig[0] for sig in sigs], pad, mont=False)
-    s_s = _limbs([sig[1] for sig in sigs], pad)
-    msg_s = _limbs([m % H.Q for m in msgs], pad)
-    ok_dev = _verify_core_canon(rx, ry, ax, ay, s_s, msg_s)
+    ok_dev = _verify_core_packed(_packed(
+        [_coord_rows([sig[0][0] for sig in sigs]),
+         _coord_rows([sig[0][1] for sig in sigs]),
+         _coord_rows([pk[0] for pk in pks]),
+         _coord_rows([pk[1] for pk in pks]),
+         F.ints_to_byte_rows([sig[1] for sig in sigs]),
+         F.ints_to_byte_rows([m % H.Q for m in msgs])], n, pad))
 
     def finish() -> list:
         ok = np.asarray(ok_dev)[:n]

@@ -72,6 +72,39 @@ def ints_to_array(xs, batch_shape=None) -> np.ndarray:
     return out
 
 
+def ints_to_byte_rows(xs) -> np.ndarray:
+    """List of python ints (< 2^256) -> (N, 32) uint8 LE byte rows — the
+    minimal wire image for host->device transfer (uint32 limb arrays are
+    2x the bytes; through a relayed/PCIe link the transfer dominates the
+    public-API latency, so batch entry points ship bytes and unpack into
+    limbs on device via unpack_rows_dev)."""
+    xs = xs if isinstance(xs, (list, tuple)) else list(xs)
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(len(xs), 32)
+
+
+def byte_rows_to_ints(rows: np.ndarray) -> list:
+    """(N, 32) uint8 LE byte rows -> list of python ints."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    buf = rows.tobytes()
+    return [int.from_bytes(buf[32 * i:32 * (i + 1)], "little")
+            for i in range(rows.shape[0])]
+
+
+def unpack_rows_dev(rows: jnp.ndarray) -> jnp.ndarray:
+    """Device: (32, *batch) uint8 LE bytes -> (16, *batch) u32 limbs."""
+    r = rows.astype(_u32)
+    return r[0::2] | (r[1::2] << 8)
+
+
+def pack_limbs_dev(limbs: jnp.ndarray) -> jnp.ndarray:
+    """Device: (16, *batch) canonical u32 limbs -> (32, *batch) uint8 LE
+    bytes (half the device->host bytes of a u32 limb array)."""
+    lo = (limbs & 0xFF).astype(jnp.uint8)
+    hi = ((limbs >> 8) & 0xFF).astype(jnp.uint8)
+    return jnp.stack([lo, hi], axis=1).reshape((2 * NLIMB,) + limbs.shape[1:])
+
+
 def array_to_ints(arr) -> list:
     """(16, N) canonical 16-bit limbs -> list of python ints (vectorized:
     one numpy limb->byte pass, then C-level ``int.from_bytes`` per row)."""

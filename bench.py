@@ -203,15 +203,17 @@ def main():
         emit(result)
 
     def chain(step, state, budget, quick, k_fixed=None):
-        """k_fixed: short fixed chain for the CPU backend (legacy values);
-        accelerators auto-scale under the budget, or pin K=64 when the
-        budget forced quick mode."""
+        """k_fixed: short fixed chain for the CPU backend (legacy values).
+        Accelerators ALWAYS auto-scale K under the budget — the scaler
+        stops escalating on projected overshoot, which degrades expensive
+        ops to short chains while still giving cheap ops the long chains
+        they need to clear the relay noise floor (a fixed short K made
+        sub-µs ops divide by noise). quick only drops the repeat count."""
         if not on_accel:
             return timing.chain_timer(step, state, 1, k_fixed or 2,
                                       repeats=1 if quick else 3)
-        if quick:
-            return timing.chain_timer(step, state, 1, 64, repeats=1)
-        return timing.chain_timer(step, state, 1, None, budget_s=budget)
+        return timing.chain_timer(step, state, 1, None, budget_s=budget,
+                                  repeats=1 if quick else 3)
 
     # ---- batch EdDSA verify /s --------------------------------------------
     nk = 8
