@@ -157,6 +157,67 @@ def msm_pippenger_core(aff, scalars, w: int = 8):
     return jax.lax.fori_loop(0, nwin - 1, horner_body, r0)
 
 
+def msm_masked_core(aff, scalars, w: int = 2):
+    """Gather-free bucket MSM (the round-4 memory-layout experiment).
+
+    Pippenger's loss on TPU is data movement (argsort + lane gathers);
+    this variant keeps buckets WITHOUT any gather: per window, bucket
+    b's sum is an identity-masked tree-reduce of the whole batch
+    (select(digit == b, P, identity) then log2(B) batched adds — all
+    lanes stay in place). Op-count model per window: (2^w - 1) masked
+    tree-reduces of ~B adds each, vs the ladder's w doubles + 1 add per
+    lane; totals at B lanes:
+
+        ladder  w=4:  (4+1)/4 * 256 * B  = 320 B point-ops
+        masked  w=1:  256 windows * 1B   = 256 B (+ 256 shared doubles)
+        masked  w=2:  128 windows * 3B   = 384 B
+        masked  w=3:   86 windows * 7B   = 602 B
+
+    so w<=2 is op-count-competitive, the doubles are amortized to ONE
+    point per window (Horner runs on the combined point, not per lane),
+    and there is zero lane traffic. What the model hides: the reduce
+    tree halves the live batch each level, so the tail levels
+    under-fill the 512-lane kernel tile while the ladder keeps every
+    lane busy every step. Measured verdict: see module docstring /
+    scripts/msm_timing.py --engine masked.
+    """
+    x, y = aff
+    bsize = x.shape[-1]
+    nwin = -(-254 // w)
+    nb = 1 << w
+    digits = _window_digits(scalars, w, nwin)          # (nwin, B)
+    one = fq.one_mont((bsize,))
+    ident = C.identity((bsize,))
+
+    def window_sum(dj):
+        # buckets 1..nb-1 (digit 0 contributes nothing)
+        parts = []
+        for b in range(1, nb):
+            sel = (dj == jnp.uint32(b))
+            pb = C.select(sel, (x, y, one), ident)
+            parts.append(tree_reduce_points(pb))       # (16, 1)
+        # sum_b b * S_b via suffix sums: T_k = S_k + .. + S_{nb-1}
+        acc = parts[-1]
+        out = parts[-1]
+        for b in range(nb - 3, -1, -1):
+            acc = C.add(acc, parts[b])
+            out = C.add(out, acc)
+        return out if nb > 2 else parts[0]
+
+    _, wins = jax.lax.scan(lambda c, dj: (c, window_sum(dj)), None, digits)
+
+    def horner_body(i, r):
+        j = nwin - 2 - i
+        for _ in range(w):
+            r = C.double(r)
+        wj = tuple(jax.lax.dynamic_index_in_dim(c, j, axis=0, keepdims=False)
+                   for c in wins)
+        return C.add(r, wj)
+
+    r0 = tuple(c[-1] for c in wins)
+    return jax.lax.fori_loop(0, nwin - 1, horner_body, r0)
+
+
 def msm_ladder_core(aff, scalars):
     """Ladder MSM: batched windowed scalar-mul + tree reduction."""
     prods = C.scalar_mul_windowed(aff, scalars)

@@ -86,8 +86,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--quick", action="store_true")
+    # Default sized for the driver window: a fully-warm run measures
+    # ~22-26 min (dominated by per-metric cached-executable loads through
+    # the relay), and the round-3 driver kill landed only after >=23 min
+    # of cold compiles — so self-limit just under that, degrading the
+    # tail instead of dying.
     ap.add_argument("--deadline", type=float,
-                    default=float(os.environ.get("BJJ_BENCH_DEADLINE", 420)))
+                    default=float(os.environ.get("BJJ_BENCH_DEADLINE", 1380)))
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the subprocess device probe (tests/CI)")
     args = ap.parse_args()
@@ -143,7 +148,7 @@ def main():
     # ---- budget plumbing ---------------------------------------------------
     N_EXTRA_METRICS = 14  # metrics after the headline (run_metric calls)
     metrics_left = [N_EXTRA_METRICS]
-    degraded, skipped = [], []
+    degraded = []
 
     def remaining():
         return args.deadline - (time.monotonic() - t_start)
@@ -177,16 +182,14 @@ def main():
     emit(result)
 
     def run_metric(name, fn):
-        """Measure one extra metric under the global budget. Tight budget
-        degrades the measurement (short fixed chain, recorded in
-        extra.degraded); only a <2 s remainder skips (never silently)."""
+        """Measure one extra metric under the global budget. A tight
+        budget DEGRADES the measurement (short chains, single repeat,
+        recorded in extra.degraded) — it never skips: on a warm cache
+        the dominant per-metric cost is loading the cached executable,
+        so attempting always beats skipping, and per-metric flushing
+        preserves everything measured if the driver kills us mid-run."""
         budget = metric_budget()
         quick = remaining() < 0.15 * args.deadline or budget < 8.0
-        if remaining() < 2.0:
-            skipped.append(name)
-            result["extra"]["skipped_after_deadline"] = skipped
-            metrics_left[0] -= 1
-            return
         if quick:
             degraded.append(name)
             result["extra"]["degraded"] = degraded
@@ -230,11 +233,11 @@ def main():
     ms = jax.device_put(F.ints_to_array([msgs[i % nk] % H.Q for i in idx]))
 
     def bench_verify(budget, quick):
-        ok = np.asarray(eddsa._verify_core(rx, ry, vx, vy, ss, ms))
-        assert ok.all(), "bench verify produced False lanes"
-        # pad-boundary check: an odd batch (B-1) pads to the tile multiple
-        # B and reuses the SAME compiled graph; exercises the pad+slice
-        # marshalling on real hardware every bench run.
+        # correctness gate + pad-boundary check through the PUBLIC API
+        # (odd batch B-1 pads to the tile multiple B): exercises the
+        # packed marshalling on real hardware every bench run and shares
+        # one cached executable with the e2e metric instead of loading a
+        # separate multi-MB graph just for an assert.
         n_odd = B - 1
         ok_odd = eddsa.verify_batch(
             [pks[i % nk] for i in range(n_odd)],
@@ -265,9 +268,15 @@ def main():
     r_y, r_sg = map(jax.device_put, codec.split_compressed_batch(r_rows))
 
     def bench_wire_verify(budget, quick):
-        okw = np.asarray(eddsa._verify_compressed_core(
-            pk_y, pk_sg, r_y, r_sg, ss, ms))
-        assert okw.all(), "bench wire-format verify produced False lanes"
+        # correctness gate via the PUBLIC wire API: exercises the packed
+        # core (shared with the e2e metric) instead of loading a second
+        # multi-MB wire executable just for the assert
+        okw = eddsa.verify_compressed_batch(
+            [codec.compress_point(pks[i % nk]) for i in idx],
+            [codec.compress_signature(sigs[i % nk][0], sigs[i % nk][1])
+             for i in idx],
+            [msgs[i % nk] for i in idx])
+        assert all(okw), "bench wire-format verify produced False lanes"
 
         def wver_step(m):
             okv = eddsa.verify_compressed_core(pk_y, pk_sg, r_y, r_sg, ss, m)

@@ -66,5 +66,14 @@ for B in sizes:
     bx, by = map(jax.device_put, C.points_to_arrays(pts))
     sa = jax.device_put(F.ints_to_array(
         [secrets.randbelow(H.SUBORDER) for _ in range(B)]))
-    bench_engine("pip", M._msm_pip_jit, bx, by, sa, B)
-    bench_engine("lad", M._msm_lad_jit, bx, by, sa, B)
+    engines = (os.environ.get("BJJ_MSM_ENGINES") or "pip,lad,masked2").split(",")
+    if "pip" in engines:
+        bench_engine("pip", M._msm_pip_jit, bx, by, sa, B)
+    if "lad" in engines:
+        bench_engine("lad", M._msm_lad_jit, bx, by, sa, B)
+    for e in engines:
+        # maskedN: gather-free bucket engine at w=N (see msm_masked_core)
+        if e.startswith("masked"):
+            w = int(e[6:] or 2)
+            eng = jax.jit(lambda a, s, w=w: M.msm_masked_core(a, s, w=w))
+            bench_engine(e, eng, bx, by, sa, B)

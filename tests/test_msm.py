@@ -55,6 +55,18 @@ def test_msm_pippenger_exact(n, w):
     assert got == _host_msm(pts, scalars)
 
 
+@pytest.mark.parametrize("n,w", [(8, 1), (8, 2), (16, 3)])
+def test_msm_masked_exact(n, w):
+    """Gather-free masked-bucket engine (round-4 layout experiment) vs
+    the host model; w=3 covers the limb-straddle digit branch."""
+    pts, scalars = _cases(n)
+    aff = C.points_to_arrays(pts)
+    s = F.ints_to_array([v % H.ORDER for v in scalars])
+    proj = jax.jit(lambda a, b: M.msm_masked_core(a, b, w=w))(aff, s)
+    (got,) = C.arrays_to_points(jax.jit(C.to_affine)(proj))
+    assert got == _host_msm(pts, scalars)
+
+
 @pytest.mark.parametrize("w", [3, 4, 8, 12])
 def test_window_digit_extraction(w):
     """_window_digits == plain python bit slicing, incl. limb straddles
