@@ -208,20 +208,31 @@ def verify_compressed_core_packed(packed, pk_sg, r_sg):
                                   r_sg, u(packed[64:96]), u(packed[96:128]))
 
 
+from ..utils import aot as _aot  # noqa: E402  (after core defs)
+
 _sign_core = jax.jit(sign_core)
 _public_core = jax.jit(public_core)
 _verify_core = jax.jit(verify_core)
 _sign_core_canon = jax.jit(sign_core_canon)
 _sign_core_nonced = jax.jit(sign_core_nonced)
 _sign_compressed_core_nonced = jax.jit(sign_compressed_core_nonced)
-_public_core_canon = jax.jit(public_core_canon)
 _verify_core_canon = jax.jit(verify_core_canon)
-_verify_core_packed = jax.jit(verify_core_packed)
-_sign_core_packed = jax.jit(sign_core_packed)
-_sign_compressed_core_packed = jax.jit(sign_compressed_core_packed)
-_verify_compressed_core_packed = jax.jit(verify_compressed_core_packed)
 _sign_compressed_core = jax.jit(sign_compressed_core)
-_public_compressed_core = jax.jit(public_compressed_core)
+# The six executables behind the public batch APIs get a cross-process
+# AOT trace cache (utils/aot.py): on this 1-core host the fused
+# pipelines cost minutes of Python tracing + Mosaic lowering PER
+# PROCESS before the persistent XLA cache even engages — the direct
+# cause of three rounds of rc=124 bench artifacts. On CPU these are
+# plain jit.
+_public_core_canon = _aot.shaped("public_core_canon", public_core_canon)
+_verify_core_packed = _aot.shaped("verify_core_packed", verify_core_packed)
+_sign_core_packed = _aot.shaped("sign_core_packed", sign_core_packed)
+_sign_compressed_core_packed = _aot.shaped(
+    "sign_compressed_core_packed", sign_compressed_core_packed)
+_verify_compressed_core_packed = _aot.shaped(
+    "verify_compressed_core_packed", verify_compressed_core_packed)
+_public_compressed_core = _aot.shaped(
+    "public_compressed_core", public_compressed_core)
 # Module-level jit: the cache keys on shapes only. Defining this inside
 # verify_compressed_batch would key on a fresh closure per call and
 # re-trace every time (round-1 judge measured ~31 s/call steady state).
@@ -358,6 +369,13 @@ def sign_compressed_batch(keys: list, msgs: list) -> list:
     in the same fused graph as the sign core; host assembles bytes.
 
     Raises ValueError when any msg > Q (reference lib.rs:309-311)."""
+    return sign_compressed_batch_async(keys, msgs)()
+
+
+def sign_compressed_batch_async(keys: list, msgs: list):
+    """Non-blocking sign_compressed_batch: returns ``finish() -> [bytes]``.
+    Input validation raises immediately; byte assembly happens in
+    finish() so a serving loop overlaps it with the next dispatch."""
     for m in msgs:
         if m > H.Q:
             raise ValueError("msg outside the Finite Field")
@@ -368,11 +386,16 @@ def sign_compressed_batch(keys: list, msgs: list) -> list:
         [_key_half_rows(keys), F.ints_to_byte_rows(sks),
          F.ints_to_byte_rows([sk << 3 for sk in sks]),
          F.ints_to_byte_rows(msgs)], n, pad))
-    arr = np.asarray(out)[:, :n]                           # (64, n) u8
-    r_rows = np.ascontiguousarray(arr[0:32].T)             # (n, 32)
-    r_rows[:, 31] |= (np.asarray(sg)[:n].astype(np.uint8) << 7)
-    s_rows = np.ascontiguousarray(arr[32:64].T)
-    return [r_rows[i].tobytes() + s_rows[i].tobytes() for i in range(n)]
+
+    def finish() -> list:
+        arr = np.asarray(out)[:, :n]                       # (64, n) u8
+        r_rows = np.ascontiguousarray(arr[0:32].T)         # (n, 32)
+        r_rows[:, 31] |= (np.asarray(sg)[:n].astype(np.uint8) << 7)
+        s_rows = np.ascontiguousarray(arr[32:64].T)
+        return [r_rows[i].tobytes() + s_rows[i].tobytes()
+                for i in range(n)]
+
+    return finish
 
 
 def verify_compressed_batch(pk_bytes: list, sig_bytes: list,

@@ -55,7 +55,13 @@ def blake_hashes(keys: list) -> list:
     fresh = list({k: None for k in keys if k not in _HASH_CACHE})
     if fresh:
         if len(_HASH_CACHE) + len(fresh) > _HASH_CACHE_MAX:
+            # keep the current batch's already-cached digests across the
+            # eviction: clear() alone would drop them and the return
+            # lookup below would KeyError on a mixed batch
+            kept = {k: _HASH_CACHE[k] for k in set(keys)
+                    if k in _HASH_CACHE}
             _HASH_CACHE.clear()
+            _HASH_CACHE.update(kept)
         _HASH_CACHE.update(zip(fresh, blake512.digest_batch(fresh)))
     return [_HASH_CACHE[k] for k in keys]
 

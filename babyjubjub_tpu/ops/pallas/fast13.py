@@ -1152,19 +1152,23 @@ def _emit_reduce_order16(limbs):
 
 
 def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, sred, *,
-                        nwin: int = None):
-    """Signed-window ladder on the a=-1 twist. tab: (9, 4, N, tile);
-    sred: (16, tile) scratch holding the scalar reduced mod ORDER (the
-    window loop indexes limbs dynamically, so the reduced scalar lives
-    in a ref, not a traced list).
+                        nwin: int = None, w: int = W):
+    """Signed-window ladder on the a=-1 twist, window width ``w``.
+    tab: (2^(w-1)+1, 4, N, tile); sred: (17, tile) scratch holding the
+    scalar reduced mod ORDER (the window loop indexes limbs dynamically,
+    so the reduced scalar lives in a ref, not a traced list; row 16 is a
+    zero pad so the generic two-limb digit read never indexes OOB).
 
-    nwin < NWIN processes only the TOP nwin windows (test-only reduced
-    geometry for the kernel-plumbing tests)."""
+    nwin < ceil(256/w) processes only the TOP nwin windows (test-only
+    reduced geometry for the kernel-plumbing tests)."""
+    nwin_full = -(-256 // w)
+    tsize = (1 << (w - 1)) + 1
     if nwin is None:
-        nwin = NWIN
+        nwin = nwin_full
     for k, v in enumerate(_emit_reduce_order16(
             [s_ref[k, :] for k in range(16)])):
         sred[k, :] = v
+    sred[16, :] = jnp.zeros_like(s_ref[0, :])
     one = [jnp.full_like(x_ref[0, :], int(v)) for v in ONE_M13]
     zero = [jnp.zeros_like(x_ref[0, :]) for _ in range(N)]
 
@@ -1185,13 +1189,13 @@ def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, sred, *,
     e1 = _entry_from_point13(p1)
     write_entry(1, e1)
     cur = p1
-    for d in range(2, TSIZE_S):
+    for d in range(2, tsize):
         cur = emit_addE13(cur, e1, want_t=True)
         write_entry(d, _entry_from_point13(cur))
 
     def read_entry_onehot(mag):
         acc = [[None] * N for _ in range(4)]
-        for d in range(TSIZE_S):
+        for d in range(tsize):
             m = (mag == _u32(d)).astype(_u32)
             for c in range(4):
                 for k in range(N):
@@ -1201,17 +1205,20 @@ def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, sred, *,
 
     def body(j, r):
         rx, ry, rz = r
-        for _i in range(3):
+        for _i in range(w - 1):
             rx, ry, rz, _t = emit_dblE13((rx, ry, rz, None), want_t=False)
         rx, ry, rz, rt = emit_dblE13((rx, ry, rz, None), want_t=True)
-        bitpos = (NWIN - 1 - j) * W
-        limb = sred[bitpos // 16, :]
-        raw = (limb >> _u32(bitpos % 16)) & _u32(15)
-        hi = raw >> 3                       # bit(bitpos + 3): nibble MSB
+        bitpos = (nwin_full - 1 - j) * w
+        # generic two-limb chunk read: a w-bit window can straddle the
+        # 16-bit limb boundary (always aligned when w == 4)
+        raw = ((sred[bitpos // 16, :] >> _u32(bitpos % 16)) |
+               (sred[bitpos // 16 + 1, :]
+                << (_u32(16) - _u32(bitpos % 16)))) & _u32((1 << w) - 1)
+        hi = raw >> (w - 1)                 # bit(bitpos + w - 1): MSB
         pb = jnp.maximum(bitpos - 1, 0)
         lo = (sred[pb // 16, :] >> _u32(pb % 16)) & _u32(1)
         lo = jnp.where(bitpos > 0, lo, _u32(0))
-        d = raw.astype(_i32) + lo.astype(_i32) - (hi.astype(_i32) << 4)
+        d = raw.astype(_i32) + lo.astype(_i32) - (hi.astype(_i32) << w)
         sign = d < 0
         mag = jnp.where(sign, -d, d).astype(_u32)
         u, v, kk, z2 = read_entry_onehot(mag)
@@ -1234,8 +1241,9 @@ def _ladder_sw13_kernel(x_ref, y_ref, s_ref, ox, oy, oz, tab, sred, *,
             ref[k, :] = l16[k]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "nwin"))
-def scalar_mul_fused_sw13(x, y, s, tile: int = 0, nwin: int = None):
+@functools.partial(jax.jit, static_argnames=("tile", "nwin", "w"))
+def scalar_mul_fused_sw13(x, y, s, tile: int = 0, nwin: int = None,
+                          w: int = W):
     """Variable-base scalar mul, signed-window Booth ladder (production
     route). Accepts ANY 256-bit scalar: the kernel reduces it mod ORDER
     in-register first (group-exact on-curve, and satisfies the Booth
@@ -1243,8 +1251,15 @@ def scalar_mul_fused_sw13(x, y, s, tile: int = 0, nwin: int = None):
     curve point and s < 2^256, matching the reference's arbitrary-length
     LSB-first ladder (lib.rs:149-164) on-curve.
 
-    nwin (test-only, default all 64 windows): top-windows-only reduced
-    geometry for the kernel-plumbing tests."""
+    nwin (test-only, default all ceil(256/w) windows): top-windows-only
+    reduced geometry for the kernel-plumbing tests.
+
+    w: signed-window width. 4 (production): 64 windows, 9-entry table;
+    5 (ablation): 52 windows, 17-entry table. MEASURED (v5e, r5,
+    artifacts/ablate_sw_r05.log): w=5 @ tile 1024 = 1.448 M/s vs w=4's
+    1.487 M/s despite -19%% point-ops — the 17-entry one-hot table read
+    per window costs more than the saved doublings, and tile 2048 fails
+    to compile under the larger table's VMEM. w=4 stays production."""
     bsize = x.shape[1]
     # 9-entry table fits tile 2048 (5.9MB) but measures SLOWER than 1024
     # (1.382M vs 1.430M scalar-muls/s on v5e): the freed VMEM does not
@@ -1253,13 +1268,14 @@ def scalar_mul_fused_sw13(x, y, s, tile: int = 0, nwin: int = None):
     bs = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     sh = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
     return _pallas_call(
-        functools.partial(_ladder_sw13_kernel, nwin=nwin),
+        functools.partial(_ladder_sw13_kernel, nwin=nwin, w=w),
         out_shape=(sh, sh, sh),
         grid=(bsize // tile,),
         in_specs=[bs, bs, bs],
         out_specs=(bs, bs, bs),
-        scratch_shapes=[pltpu.VMEM((TSIZE_S, 4, N, tile), jnp.uint32),
-                        pltpu.VMEM((16, tile), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM(((1 << (w - 1)) + 1, 4, N, tile),
+                                   jnp.uint32),
+                        pltpu.VMEM((17, tile), jnp.uint32)],
     )(x, y, s)
 
 

@@ -43,7 +43,16 @@ def apply() -> bool:
     except Exception:
         return False
     orig = getattr(tcc, "_lower_mosaic_module_to_asm", None)
-    if orig is None or getattr(orig, "_bjj_stripped", False):
+    if orig is None:
+        # jax internals moved (e.g. an upgrade renamed the hook): report
+        # inactive so callers/diagnostics can tell the strip-debuginfo
+        # pass is NOT installed, instead of silently reintroducing the
+        # cross-process recompile failure mode
+        import warnings
+        warnings.warn("cachefix: _lower_mosaic_module_to_asm not found; "
+                      "Mosaic cache-key determinism fix NOT active")
+        return False
+    if getattr(orig, "_bjj_stripped", False):
         _APPLIED = True
         return True
 

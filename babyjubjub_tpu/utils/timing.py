@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 def chain_timer(step_fn, state0, k_lo: int = 1, k_hi: int | None = None,
                 repeats: int = 3, min_delta: float = 0.15,
-                budget_s: float | None = None) -> float:
+                budget_s: float | None = None,
+                chained=None) -> float:
     """Seconds per step_fn application.
 
     step_fn: state -> state (data-dependent so iterations can't collapse);
@@ -37,10 +38,16 @@ def chain_timer(step_fn, state0, k_lo: int = 1, k_hi: int | None = None,
     budget_s: soft wall-clock budget for THIS measurement; the auto-scale
     stops escalating K when the projected next run would overshoot it
     (the estimate already in hand is returned instead of being refined).
+
+    chained: optional prebuilt `(state, k:int32) -> state` callable (an
+    AOT-cached executable from utils/aot.py); when given, step_fn is
+    only documentation and no tracing happens here — the bench uses this
+    to skip the multi-minute per-process Pallas trace/lowering cost.
     """
-    @jax.jit
-    def chained(s, k):
-        return jax.lax.fori_loop(0, k, lambda i, x: step_fn(x), s)
+    if chained is None:
+        @jax.jit
+        def chained(s, k):
+            return jax.lax.fori_loop(0, k, lambda i, x: step_fn(x), s)
 
     t_begin = time.perf_counter()
 

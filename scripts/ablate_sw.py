@@ -34,24 +34,29 @@ sa = jax.device_put(F.ints_to_array(
 nchk = 512
 ref = jax.jit(C.to_affine)(FK.scalar_mul_fused_tw13(
     bx[:, :nchk], by[:, :nchk], sa[:, :nchk]))
-got = jax.jit(C.to_affine)(FK.scalar_mul_fused_sw13(
-    bx[:, :nchk], by[:, :nchk], sa[:, :nchk]))
-assert all(np.array_equal(np.asarray(a), np.asarray(b))
-           for a, b in zip(ref, got)), "sw13 != tw13"
-print("exactness OK (sw == tw on 512 lanes)", flush=True)
+for w in (4, 5):
+    got = jax.jit(C.to_affine)(FK.scalar_mul_fused_sw13(
+        bx[:, :nchk], by[:, :nchk], sa[:, :nchk], w=w))
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(ref, got)), f"sw13 w={w} != tw13"
+    print(f"exactness OK (sw w={w} == tw on 512 lanes)", flush=True)
 
-for name, fn, tiles in (
-        ("sw13", FK.scalar_mul_fused_sw13, (1024, 2048)),
-        ("tw13", FK.scalar_mul_fused_tw13, (1024,)),
+# w=5 ablation rationale (VERDICT r4 #3): 52 windows x (5D + 1A) ~ 312
+# point-ops/lane vs w=4's 64 x (4D + 1A) = 384 (-19% ops); the Booth
+# table grows 9 -> 17 entries so VMEM pressure may force a smaller tile.
+for name, fn, tiles, kw in (
+        ("sw13 w=4", FK.scalar_mul_fused_sw13, (512, 1024, 2048), {"w": 4}),
+        ("sw13 w=5", FK.scalar_mul_fused_sw13, (512, 1024, 2048), {"w": 5}),
+        ("tw13", FK.scalar_mul_fused_tw13, (1024,), {}),
 ):
     for tile in tiles:
         if B % tile:
             continue
-        def step(s, fn=fn, tile=tile):
-            px, py, pz = fn(bx, by, s, tile=tile)
+        def step(s, fn=fn, tile=tile, kw=kw):
+            px, py, pz = fn(bx, by, s, tile=tile, **kw)
             return (s ^ px) & 0xFFFF
         try:
-            dt = timing.chain_timer(step, sa, 1, None)
+            dt = timing.chain_timer(step, sa, 1, None, budget_s=60)
         except Exception as e:  # VMEM overflow etc.
             print(f"{name} tile={tile}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)

@@ -276,6 +276,29 @@ def test_scalar_keys_batch_matches_single():
     assert batch == [K.scalar_key(k) for k in ks]
 
 
+def test_blake_hashes_eviction_mixed_batch():
+    """Regression (ADVICE r4): cache eviction during a batch that mixes
+    already-cached and fresh keys must not drop the cached keys' digests
+    (the old clear() made the return lookup KeyError)."""
+    import secrets
+    from babyjubjub_tpu.models import keys as K
+    old_max, old_cache = K._HASH_CACHE_MAX, dict(K._HASH_CACHE)
+    try:
+        K._HASH_CACHE_MAX = 8
+        K._HASH_CACHE.clear()
+        cached = [secrets.token_bytes(32) for _ in range(6)]
+        K.blake_hashes(cached)  # fill near the cap
+        fresh = [secrets.token_bytes(32) for _ in range(6)]
+        mixed = cached[:3] + fresh  # 6+6 > 8 -> eviction fires mid-batch
+        out = K.blake_hashes(mixed)
+        from babyjubjub_tpu.utils import blake512 as B
+        assert out == [B._digest_py(k) for k in mixed]
+    finally:
+        K._HASH_CACHE_MAX = old_max
+        K._HASH_CACHE.clear()
+        K._HASH_CACHE.update(old_cache)
+
+
 def test_device_nonce_parity():
     """ops/blake_dev nonce derivation is bit-exact vs the host oracle
     blake512(h[32:64] || msg_le_32) mod SUBORDER, including msg == Q."""

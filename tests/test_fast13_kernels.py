@@ -237,40 +237,45 @@ def test_point_kernels_interpret():
 # committed BJJ_TPU_TESTS run log.
 # ---------------------------------------------------------------------------
 
-def _booth_digits_top(s: int, nwin: int):
+def _booth_digits_top(s: int, nwin: int, w: int = FK.W):
     """Booth signed digits of the TOP nwin windows, exactly as the sw13
-    kernel recodes them (raw nibble + low carry bit - 16*nibble-MSB).
-    The kernel reduces s mod ORDER in-register before recoding, so
+    kernel recodes them (raw w-bit chunk + low carry bit - 2^w * chunk
+    MSB). The kernel reduces s mod ORDER in-register before recoding, so
     callers of this model must pass s % ORDER."""
+    nwin_full = -(-256 // w)
     digs = []
     for j in range(nwin):
-        bitpos = (FK.NWIN - 1 - j) * FK.W
-        raw = (s >> bitpos) & 15
-        hi = raw >> 3
+        bitpos = (nwin_full - 1 - j) * w
+        raw = (s >> bitpos) & ((1 << w) - 1)
+        hi = raw >> (w - 1)
         lo = (s >> (bitpos - 1)) & 1 if bitpos > 0 else 0
-        digs.append(raw + lo - (hi << 4))
+        digs.append(raw + lo - (hi << w))
     return digs
 
 
+@pytest.mark.parametrize("w", [4, 5], ids=["w4", "w5"])
 @heavy
-def test_ladder_sw13_kernel_tiny_default():
+def test_ladder_sw13_kernel_tiny_default(w):
     """Production signed-window Booth ladder kernel, 2-window geometry:
     table build, Booth recode, negate-at-read, extended-coordinate
     doublings/adds, twist untwisting and mont16 repack all execute in a
-    real pallas_call."""
+    real pallas_call. w=5 additionally exercises the cross-limb digit
+    read (5-bit windows straddle the 16-bit limb boundary; w=4 windows
+    are always limb-aligned)."""
     pts = _rand_points(B)
     scalars = [0, 1, (1 << 255) - 1] + [rng.randrange(1 << 255)
                                         for _ in range(B - 3)]
     x, y = C.points_to_arrays(pts)
     s = F.ints_to_array(scalars)
     nwin = 2
-    px, py, pz = FK.scalar_mul_fused_sw13(x, y, s, tile=TILE, nwin=nwin)
+    px, py, pz = FK.scalar_mul_fused_sw13(x, y, s, tile=TILE, nwin=nwin,
+                                          w=w)
     got = _proj_to_affine_ints(px, py, pz)
     want = []
     for p, n in zip(pts, scalars):
         acc = H.IDENTITY
-        for d in _booth_digits_top(n % H.ORDER, nwin):
-            for _ in range(FK.W):
+        for d in _booth_digits_top(n % H.ORDER, nwin, w):
+            for _ in range(w):
                 acc = H.point_add(acc, acc)
             step = H.mul_scalar(p, abs(d))
             acc = H.point_add(acc, H.point_neg(step) if d < 0 else step)
