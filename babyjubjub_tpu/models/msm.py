@@ -27,7 +27,7 @@ batch workload BASELINE.json's north star measures. Two engines:
     6. Horner-combine the window sums: R = 2^w R + W_j.
 
   MEASURED VERDICT (v5e, 2026-08-17, scripts/msm_timing.py): at
-  B=16384 the ladder takes 22.7 ms/MSM (722k pt-muls/s) and Pippenger
+  B=16384 the ladder took 22.7 ms/MSM (722k pt-muls/s) and Pippenger
   2529 ms — group-op counting favors Pippenger ~5x, but every saved
   add is repaid >100x in data movement: per-lane gathers
   (jnp.take along the lane axis for the sort permutation and the 2^w
@@ -43,6 +43,13 @@ Both engines are exact (bit-identical to the host BigInt model) and
 sharded across the mesh via parallel/sharded.msm_sharded (per-device
 partials combined with point adds — the only collective is the gather
 of one point per device, riding ICI).
+
+ROUND-5 TAIL FIX (v5e, artifacts/msm_r05.log): the ladder engine's
+reduction now runs in ONE fused kernel (pallas/point.point_sum — grid
+accumulation + lane-roll butterfly, see tree_reduce_points below);
+B=16384: 11.09 ms/MSM = 1.48M pt-muls/s (was 22.7 ms / 722k/s);
+B=65536: 1.50M pt-muls/s — ~97%% of the raw batched-ladder rate, the
+reduce tail is no longer measurable.
 """
 
 from __future__ import annotations
@@ -67,11 +74,29 @@ PIPPENGER_MIN_B = None
 def tree_reduce_points(proj):
     """Sum a projective batch (coords (16, B)) down to a single point.
 
-    B is padded to a power of two with identities; log2(B) rounds of
-    batched adds.
+    On TPU, batches >= the Pallas tile reduce in ONE fused kernel
+    (pallas/point.point_sum): per-tile grid accumulation in VMEM
+    scratch, then a lane-roll butterfly fold — every lane stays busy
+    every step. The former log2(B) chain of separate adds spent 12 of
+    22.7 ms per B=16384 MSM in its tail levels, which under-filled the
+    512-lane tile and below it fell onto the generic-limb XLA adds
+    (VERDICT r4 #5); measured after: see scripts/msm_timing.py /
+    artifacts/msm_r05.log.
+
+    CPU / sub-tile batches: identity-pad to a power of two, log2(B)
+    rounds of batched adds (unchanged semantics, same group law).
     """
     x, y, z = proj
     b = x.shape[-1]
+    tile = F._PALLAS_TILE
+    if F._pallas_enabled() and x.ndim == 2 and b >= tile:
+        from ..ops.pallas import point as PK
+        if b % tile:
+            pad = C.identity((tile - b % tile,))
+            x, y, z = (jnp.concatenate([c, p], axis=-1)
+                       for c, p in zip((x, y, z), pad))
+        s = PK.point_sum(x, y, z)
+        return tuple(c[:, :1] for c in s)
     n = 1
     while n < b:
         n *= 2

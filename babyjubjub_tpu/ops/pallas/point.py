@@ -148,3 +148,81 @@ def point_add(x1, y1, z1, x2, y2, z2, tile: int = 512):
     return _pallas_call(
         _add_kernel, out_shape=(sh, sh, sh), grid=(x1.shape[1] // tile,),
         in_specs=ins, out_specs=outs)(x1, y1, z1, x2, y2, z2)
+
+
+def _roll_lanes(v, off: int):
+    """Circular lane rotation of a (tile,) vector. Real Mosaic uses the
+    TPU lane-roll on a (1, tile) 2D view (tpu.dynamic_rotate rejects 1D
+    vectors: "Unsupported 1D shape"); the XLA interpret lowering (CPU
+    tests) lacks the primitive entirely, so it falls back to jnp.roll."""
+    from . import fast13
+    if fast13.INTERPRET:
+        return jnp.roll(v, off)
+    return pltpu.roll(v.reshape(1, v.shape[0]), off, 1).reshape(v.shape)
+
+
+def _sum_kernel(x_ref, y_ref, z_ref, ox, oy, oz, acc, *, tile, ngrid):
+    """Whole-batch point sum in ONE kernel: grid step j adds its (16,
+    tile) block of points into a running (3, 16, tile) scratch
+    accumulator (scratch persists across the sequential TPU grid), and
+    the final step all-reduces the tile's lanes with a butterfly of
+    circular lane-rolls (log2(tile) unified adds; afterwards EVERY lane
+    holds the total, so the caller reads lane 0).
+
+    Replaces the former log2(B) chain of separate point_add launches
+    whose tail levels under-filled the 512-lane tile and, below the
+    tile, fell off the kernel path onto the ~100x slower generic-limb
+    XLA adds — measured 12 of 22.7 ms per B=16384 MSM (VERDICT r4 #5).
+    """
+    j = pl.program_id(0)
+    p = (_rd(x_ref), _rd(y_ref), _rd(z_ref))
+
+    def _read_acc():
+        return tuple([acc[c, k, :] for k in range(NLIMB)]
+                     for c in range(3))
+
+    def _write_acc(r):
+        for c in range(3):
+            for k in range(NLIMB):
+                acc[c, k, :] = r[c][k]
+
+    @pl.when(j == 0)
+    def _init():
+        _write_acc(p)
+
+    @pl.when(j > 0)
+    def _accumulate():
+        _write_acc(emit_point_add(_read_acc(), p))
+
+    @pl.when(j == ngrid - 1)
+    def _fold_and_emit():
+        a = _read_acc()
+        off = 1
+        while off < tile:
+            rolled = tuple([_roll_lanes(a[c][k], off)
+                            for k in range(NLIMB)] for c in range(3))
+            a = emit_point_add(a, rolled)
+            off *= 2
+        _wr(ox, a[0])
+        _wr(oy, a[1])
+        _wr(oz, a[2])
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def point_sum(x, y, z, tile: int = 512):
+    """(16, B) projective batch -> (16, tile) whose every lane is the
+    projective sum of all B points (callers slice [:, :1]). B must be a
+    multiple of tile."""
+    bsize = x.shape[1]
+    ngrid = bsize // tile
+    bs = pl.BlockSpec((NLIMB, tile), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((NLIMB, tile), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    sh = jax.ShapeDtypeStruct((NLIMB, tile), jnp.uint32)
+    return _pallas_call(
+        functools.partial(_sum_kernel, tile=tile, ngrid=ngrid),
+        out_shape=(sh, sh, sh), grid=(ngrid,),
+        in_specs=[bs, bs, bs], out_specs=(os, os, os),
+        scratch_shapes=[pltpu.VMEM((3, NLIMB, tile), jnp.uint32)],
+    )(x, y, z)

@@ -45,17 +45,27 @@ _src_hash_memo = None
 
 
 def _source_hash() -> str:
-    """sha256 over every .py source in the package, in sorted path order."""
+    """sha256 over every .py source in the package plus the repo-root
+    .py files (bench.py etc. define the chain step closures the blobs
+    embed — editing one must invalidate, or a stale blob would silently
+    measure old code), in sorted path order."""
     global _src_hash_memo
     if _src_hash_memo is None:
         h = hashlib.sha256()
+        paths = []
         for root, _dirs, files in sorted(os.walk(_PKG_DIR)):
-            for fn in sorted(files):
-                if fn.endswith(".py"):
-                    p = os.path.join(root, fn)
-                    h.update(p.encode())
-                    with open(p, "rb") as f:
-                        h.update(f.read())
+            paths += [os.path.join(root, fn) for fn in sorted(files)
+                      if fn.endswith(".py")]
+        try:
+            paths += [os.path.join(_REPO_DIR, fn)
+                      for fn in sorted(os.listdir(_REPO_DIR))
+                      if fn.endswith(".py")]
+        except OSError:
+            pass
+        for p in paths:
+            h.update(p.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
         _src_hash_memo = h.hexdigest()[:16]
     return _src_hash_memo
 
@@ -94,11 +104,16 @@ def load(name: str, args):
 
 def build(name: str, fn, args):
     """Trace + export `fn` at `args`' signature, persist the blob, and
-    return the jitted deserialize-free callable (the freshly jitted fn
-    itself — identical graph, and the caller's first call reuses this
-    trace instead of paying a second one through exp.call). Export
-    failure (e.g. a custom call the exporter refuses) degrades to plain
-    jit: slower next process, never wrong."""
+    return the RELOADED jit(exp.call) callable — NOT the plain jitted
+    fn. The two lower to different HLO module bytes (the export wrapper
+    renames the module), so they key different entries in the
+    persistent XLA cache and in the relay's server-side compile cache;
+    returning the reloaded path means the building run itself primes
+    exactly the caches every later warm run hits (measured: priming the
+    jit(fn) path instead left the next run paying a full ~7-min
+    XLA+Mosaic compile per mega-kernel). Export failure (e.g. a custom
+    call the exporter refuses) degrades to plain jit: slower next
+    process, never wrong."""
     from jax import export as jexp
     jfn = jax.jit(fn)
     try:
@@ -115,7 +130,9 @@ def build(name: str, fn, args):
         import warnings
         warnings.warn(f"aot: export of {name!r} failed ({e!r:.200}); "
                       "falling back to plain jit")
-    return jfn
+        return jfn
+    hit = load(name, args)
+    return hit if hit is not None else jfn
 
 
 def get(name: str, fn, args):

@@ -218,6 +218,13 @@ def test_point_kernels_interpret():
         H.point_add(p, q) for p, q in zip(pts, qts)]
     assert _proj_to_affine_ints(dx, dy, dz) == [
         H.point_add(p, p) for p in pts]
+    # point_sum: grid accumulation across >= 2 tiles + lane-roll fold
+    sx, sy, sz = PK.point_sum(x1, y1, one, tile=TILE)
+    want = H.IDENTITY
+    for p in pts:
+        want = H.point_add(want, p)
+    got = _proj_to_affine_ints(sx[:, :1], sy[:, :1], sz[:, :1])
+    assert got == [want]
 
 
 # ---------------------------------------------------------------------------
